@@ -1,0 +1,196 @@
+"""Configuration: dataclasses + reference-compatible CLI.
+
+Replaces the reference's module-level constants and argparse parser
+(reference utils.py:142-202, utils.py:242-271) with a typed, immutable config.
+Flag names and semantics are kept: -c -i -b -d -k -n -s -l -t.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Dataset constants (reference utils.py:142-153, 530-545)
+# ---------------------------------------------------------------------------
+NUM_SAMPLES = 1000
+CELLS_PER_SIDE = 32
+NUM_PARTICLES = CELLS_PER_SIDE ** 3          # 32**3 (reference utils.py:148)
+DATASET_SEED = 12345                          # reference utils.py:149
+BOX_SIZE = 128.0                              # raw grid spans [2, 126] step 4
+GRID_OFFSET = 64.0                            # reference stores q - 64 (utils.py:615)
+
+# 19-column raw cube schema (reference utils.py:530-545)
+COL_ZA_DISP = slice(1, 4)
+COL_2LPT_DISP = slice(4, 7)
+COL_FPM_DISP = slice(7, 10)
+COL_ZA_VEL = slice(10, 13)
+COL_2LPT_VEL = slice(13, 16)
+COL_FPM_VEL = slice(16, 19)
+
+# Redshift vocabulary: 20 snapshots, z = 9.0 -> 0.0
+# (reference visualization/plot_eval.py:19-21)
+REDSHIFTS = [9.0000, 7.6923, 6.6667, 5.8824, 5.2632, 4.7619, 4.3478, 4.0000,
+             3.7037, 3.4483, 3.2258, 3.0303, 2.8571, 2.7027, 2.5641, 2.4390,
+             2.3256, 2.2222, 2.1277, 2.0408]
+
+# ---------------------------------------------------------------------------
+# Model constants (reference utils.py:156-202)
+# ---------------------------------------------------------------------------
+PARAMS_SEED = 77743196                        # reference utils.py:161
+CHANNELS = [6, 64, 128, 128, 256, 64, 128, 16, 3]   # reference utils.py:165
+# Graph models take 3-channel edge features (relative positions / ZA on the
+# self-edge, reference graph.py:289-343); the reference kept graph nets
+# shallow for memory (utils.py:163 comment) — same spirit here.
+GRAPH_CHANNELS = [3, 32, 64, 64, 32, 16, 3]
+# Attention/residual model channel list (reference experiment.py:25)
+ATTN_CHANNELS = [6] + [16] * 22 + [3]
+NUM_NEIGHBORS = 14                            # reference utils.py:166
+BIAS_INIT = 1e-8                              # reference utils.py:334
+SCALAR_INIT = 0.002                           # reference utils.py:182
+
+BATCH_SIZE = 4                                # reference utils.py:191
+NUM_ITERS = 20000                             # reference utils.py:192
+NUM_TEST_SAMPLES = 200                        # reference utils.py:193
+LEARN_RATE = 0.01                             # reference utils.py:267-268
+NUM_VAL_SAMPLES = 100                         # reference utils.py:589
+
+# Model naming (reference utils.py:120-139)
+MODEL_NAME_ZA = "ZA-FPM_{}"
+CUBE_NAME = "X_{}"
+MODEL_TAGLIST = ["arae", "boot", "cari", "drac", "erid", "forn", "gemi",
+                 "hyda", "indi", "lyra", "mensa", "norma", "orion", "pavo",
+                 "reti", "scut", "taur", "ursa", "virgo"]
+
+MODEL_FAMILIES = ("set", "shiftinv", "shiftinv15", "attn")
+
+
+def default_data_dir() -> str:
+    return os.environ.get(
+        "NBODY_DATA_DIR",
+        os.path.join(os.environ.get("HOME", "."), ".Data", "nbody_simulations", "ZA"))
+
+
+def default_experiments_dir() -> str:
+    return os.environ.get(
+        "NBODY_EXPERIMENTS_DIR",
+        os.path.join(os.environ.get("HOME", "."), ".Data", "Experiments", "Nbody"))
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + split. Mirrors reference Dataset (utils.py:547-621)."""
+    data_dir: str = dataclasses.field(default_factory=default_data_dir)
+    data_idx: int = 0
+    num_test: int = NUM_TEST_SAMPLES
+    num_val: int = NUM_VAL_SAMPLES
+    seed: int = DATASET_SEED
+    cells_per_side: int = CELLS_PER_SIDE
+    # synthetic fallback when no ZA_*.npy on disk (this environment has none)
+    synthetic_num_samples: int = NUM_SAMPLES
+
+    @property
+    def num_particles(self) -> int:
+        return self.cells_per_side ** 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    family: str = "set"                       # one of MODEL_FAMILIES
+    channels: Tuple[int, ...] = tuple(CHANNELS)
+    k_neighbors: int = NUM_NEIGHBORS
+    seed: int = PARAMS_SEED
+    # attention model extras (reference experiment.py:22-33)
+    batch_coupled_gate: bool = True           # reference reshapes (B*N,k) before the gate
+    dtype: str = "float32"                    # compute dtype for activations
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.channels) - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_iters: int = NUM_ITERS
+    batch_size: int = BATCH_SIZE
+    learn_rate: float = LEARN_RATE
+    checkpoint_every: int = 250               # reference train.py:29
+    experiments_dir: str = dataclasses.field(default_factory=default_experiments_dir)
+    name: str = ""                            # random constellation tag if empty
+    restore: bool = False
+    # parallelism
+    data_axis: int = 1                        # mesh size along batch axis
+    particle_axis: int = 1                    # mesh size along particle axis
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Reference-compatible CLI (reference utils.py:242-271)."""
+    p = argparse.ArgumentParser(
+        description="Train an N-body ZA->FastPM correction model (TPU-native).",
+        formatter_class=argparse.RawTextHelpFormatter)
+    adg = p.add_argument
+    adg("-c", "--channels", type=int, nargs="+", default=list(CHANNELS),
+        metavar="C", help="List of ints that define layer sizes")
+    adg("-i", "--num_iters", type=int, default=NUM_ITERS, metavar="N",
+        help="Number of training iterations")
+    adg("-b", "--batch_size", type=int, default=BATCH_SIZE, metavar="B",
+        help="Number of samples per training batch")
+    adg("-d", "--data_idx", type=int, default=0, metavar="i",
+        help="Index of the dataset file (ZA_001.npy ... ZA_010.npy)")
+    adg("-k", "--kneighbors", type=int, default=NUM_NEIGHBORS, metavar="K",
+        help="Number of neighbors in graph model (KNN); K == -1 selects set model")
+    adg("-n", "--name", type=str, default="", metavar="name",
+        help="Name for model; randomly generated if not specified")
+    adg("-s", "--seed", type=int, default=PARAMS_SEED, metavar="X",
+        help="Random seed for parameter initialization")
+    adg("-l", "--learnrate", type=float, default=LEARN_RATE, metavar="lr",
+        help="Learning rate for optimizer")
+    adg("-t", "--num_test", type=int, default=NUM_TEST_SAMPLES, metavar="M",
+        help="Number of samples in test set")
+    # new framework flags (no reference equivalent)
+    adg("--model", type=str, default=None, choices=list(MODEL_FAMILIES),
+        help="Model family; default: 'set' if -k == -1 else 'shiftinv'")
+    adg("--data_dir", type=str, default=None, help="Directory with ZA_*.npy cubes")
+    adg("--synthetic", action="store_true",
+        help="Force synthetic data even if real cubes exist")
+    adg("--cells", type=int, default=CELLS_PER_SIDE,
+        help="Cube cells per side (particles = cells^3)")
+    adg("-r", "--restore", action="store_true",
+        help="Restore pretrained model parameters (works here, unlike the reference)")
+    adg("--data_axis", type=int, default=1, help="Mesh size along data-parallel axis")
+    adg("--particle_axis", type=int, default=1, help="Mesh size along particle axis")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    family = args.model
+    if family is None:
+        family = "set" if args.kneighbors == -1 else "shiftinv"
+    data = DataConfig(
+        data_dir=args.data_dir or default_data_dir(),
+        data_idx=args.data_idx,
+        num_test=args.num_test,
+        cells_per_side=args.cells)
+    model = ModelConfig(
+        family=family,
+        channels=tuple(args.channels),
+        k_neighbors=(args.kneighbors if args.kneighbors > 0 else NUM_NEIGHBORS),
+        seed=args.seed)
+    train = TrainConfig(
+        num_iters=args.num_iters,
+        batch_size=args.batch_size,
+        learn_rate=args.learnrate,
+        name=args.name,
+        restore=args.restore,
+        data_axis=args.data_axis,
+        particle_axis=args.particle_axis)
+    return Config(data=data, model=model, train=train)

@@ -1,0 +1,130 @@
+"""Dataset loading, feature extraction, seeded splits, batching.
+
+Reference twin: utils.py:547-621 (Dataset class).  Differences, by design:
+  * Batch sampling uses `jax.random` keys (reproducible, device-friendly)
+    instead of global `np.random.choice` (reference utils.py:563).
+  * Falls back to the synthetic generator when no ZA_*.npy exists.
+  * Exposes normalized [0,1) particle positions for the graph models —
+    the reference left the graph pipeline unwired with inconsistent
+    coordinate conventions (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu import config as C
+from nbody_tpu.data.grid import grid_positions_np
+from nbody_tpu.data.synthetic import synthetic_raw_cubes
+
+
+def load_cube_file(path: str) -> np.ndarray:
+    """np.load a raw (S, C, C, C, 19) cube file."""
+    return np.load(path)
+
+
+def features_from_raw(raw: np.ndarray) -> np.ndarray:
+    """Raw (S, C, C, C, 19) -> features (S, N, 9).
+
+    Columns: [q - box/2 (3), za_disp (3), fpm_disp - za_disp (3)]
+    exactly as the reference assembles X (utils.py:606-619):
+    the target residual is fpm - za, and the grid is centered by -64.
+    """
+    s, cx, cy, cz, _ = raw.shape
+    assert cx == cy == cz, "cubes must be cubic"
+    n = cx * cy * cz
+    box = 4.0 * cx  # real data: 32 cells, box 128
+    za = raw[..., C.COL_ZA_DISP].reshape(s, n, 3)
+    fpm = raw[..., C.COL_FPM_DISP].reshape(s, n, 3) - za
+    q = grid_positions_np(cx, box=box)
+    q_centered = np.broadcast_to(q[None] - box / 2.0, za.shape)
+    return np.concatenate([q_centered, za, fpm], axis=-1).astype(np.float32)
+
+
+def split_dataset(x: np.ndarray, num_test: int, num_val: int = C.NUM_VAL_SAMPLES,
+                  seed: int = C.DATASET_SEED):
+    """Seeded permutation split -> (train, val, test).
+
+    Bit-identical to the reference's split (utils.py:574-591): legacy
+    RandomState permutation, split indices [-num_test-num_val, -num_test].
+    """
+    rs = np.random.RandomState(seed)
+    rnd_idx = rs.permutation(x.shape[0])
+    split_idx = [-num_test - num_val, -num_test]
+    return np.split(x[rnd_idx], split_idx, axis=0)
+
+
+class Dataset:
+    """Holds train/val/test feature arrays and provides batching.
+
+    Attrs
+    -----
+    X_train, X_val, X_test : np.ndarray (S_i, N, 9)
+    cells : cube cells per side; box = 4 * cells
+    """
+
+    def __init__(self, cfg: Optional[C.DataConfig] = None, raw: Optional[np.ndarray] = None):
+        cfg = cfg or C.DataConfig()
+        self.cfg = cfg
+        if raw is None:
+            raw = self._load_raw(cfg)
+        self.cells = raw.shape[1]
+        self.box = 4.0 * self.cells
+        x = features_from_raw(raw)
+        num_test = min(cfg.num_test, max(1, x.shape[0] - cfg.num_val - 2))
+        num_val = min(cfg.num_val, max(1, x.shape[0] - num_test - 1))
+        self.X_train, self.X_val, self.X_test = split_dataset(
+            x, num_test, num_val, cfg.seed)
+
+    @staticmethod
+    def _load_raw(cfg: C.DataConfig) -> np.ndarray:
+        paths = sorted(glob.glob(os.path.join(cfg.data_dir, "*.npy")))
+        if paths and 0 <= cfg.data_idx < len(paths):
+            return load_cube_file(paths[cfg.data_idx])
+        return synthetic_raw_cubes(
+            num_samples=cfg.synthetic_num_samples, cells=cfg.cells_per_side,
+            seed=cfg.seed)
+
+    @property
+    def num_particles(self) -> int:
+        return self.X_train.shape[1]
+
+    def get_minibatch(self, key: jax.Array, batch_size: int = C.BATCH_SIZE) -> np.ndarray:
+        """Random minibatch without replacement (reference utils.py:559-566)."""
+        n = self.X_train.shape[0]
+        idx = jax.random.choice(key, n, (batch_size,), replace=False)
+        return self.X_train[np.asarray(idx)]
+
+    def sequential_batches(self, split: str, batch_size: int):
+        """Yield (start, batch) slices over val/test (reference train.py:140-151)."""
+        x = {"val": self.X_val, "test": self.X_test, "train": self.X_train}[split]
+        for j in range(x.shape[0] // batch_size):
+            p = batch_size * j
+            yield p, x[p:p + batch_size]
+
+
+def split_batch(batch: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(b, N, 9) -> inputs (b, N, 6) [q-64, za], target (b, N, 3) [fpm - za].
+
+    Mirrors reference train.py:95-96.
+    """
+    return batch[..., :6], batch[..., 6:]
+
+
+def positions_from_inputs(x_in: jnp.ndarray, box: float) -> jnp.ndarray:
+    """Normalized [0,1) particle positions from model inputs (b, N, 6).
+
+    Positions = grid + ZA displacement, wrapped into the periodic unit box.
+    This is the graph-model coordinate convention: the reference intended
+    kNN over displaced positions in a [0,1] box (graph.py:896-917) but never
+    normalized; we fix the convention here.
+    """
+    q = x_in[..., :3] + box / 2.0         # undo the -box/2 centering
+    pos = q + x_in[..., 3:6]              # + ZA displacement
+    return jnp.mod(pos / box, 1.0)

@@ -1,0 +1,99 @@
+"""Model registry: a uniform (init, apply) interface over all families.
+
+`apply(params, x_in)` takes the standard input batch (b, N, 6)
+[grid - box/2, za_disp] and returns the predicted ZA->FastPM residual
+(b, N, 3).  Graph families rebuild the periodic kNN graph *inside* apply,
+so the whole forward (graph build included) jits into one XLA program —
+the inversion of the reference's host-side per-step kNN (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu import config as C
+from nbody_tpu.ops.knn import knn_periodic_batch
+
+
+class Model(NamedTuple):
+    init: Callable        # key -> params
+    apply: Callable       # (params, x_in (b,N,6)) -> (b,N,3)
+    family: str
+
+
+def _graph_geometry(x_in: jnp.ndarray, box: float):
+    """Positions (raw units) + ZA displacement from the input batch."""
+    q = x_in[..., :3] + box / 2.0
+    za = x_in[..., 3:6]
+    pos = q + za
+    return pos, za
+
+
+def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
+    dtype = jnp.dtype(cfg.dtype)
+    channels = list(cfg.channels)
+
+    if cfg.family == "set":
+        from nbody_tpu.models import set_net
+        if channels[0] != 6:
+            channels = list(C.CHANNELS)
+
+        def init(key):
+            return set_net.init_set_params(key, channels, dtype)
+
+        def apply(params, x_in):
+            return set_net.set_network(params, x_in.astype(dtype))
+
+        return Model(init, apply, "set")
+
+    if cfg.family in ("shiftinv", "shiftinv15"):
+        if channels[0] != 3:
+            channels = list(C.GRAPH_CHANNELS)
+        k = cfg.k_neighbors
+
+        if cfg.family == "shiftinv":
+            from nbody_tpu.models import shiftinv
+
+            def init(key):
+                return shiftinv.init_shiftinv_params(key, channels, dtype)
+
+            def apply(params, x_in):
+                pos, za = _graph_geometry(x_in, box)
+                idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
+                return shiftinv.shiftinv_model(
+                    params, pos.astype(dtype), za.astype(dtype), idx, box)
+
+            return Model(init, apply, "shiftinv")
+
+        from nbody_tpu.models import shiftinv15
+
+        def init(key):
+            return shiftinv15.init_shiftinv15_params(key, channels, dtype)
+
+        def apply(params, x_in):
+            pos, za = _graph_geometry(x_in, box)
+            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
+            return shiftinv15.shiftinv15_model(
+                params, pos.astype(dtype), za.astype(dtype), idx, box)
+
+        return Model(init, apply, "shiftinv15")
+
+    if cfg.family == "attn":
+        from nbody_tpu.models import attn
+        if channels[0] != 6:
+            channels = list(C.ATTN_CHANNELS)
+
+        def init(key):
+            return attn.init_attn_params(key, channels, dtype)
+
+        def apply(params, x_in):
+            return attn.attn_network(params, x_in.astype(dtype),
+                                     batch_coupled_gate=cfg.batch_coupled_gate)
+
+        return Model(init, apply, "attn")
+
+    raise ValueError(f"unknown model family: {cfg.family!r}")

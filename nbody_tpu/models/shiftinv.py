@@ -1,0 +1,101 @@
+"""Shift-invariant sparse graph network, 4-operator equivariant basis.
+
+Reference twins: shift_inv_layer / shift_inv_conv (graph.py:367-456),
+network_func_shift_inv_za (graph.py:463-476),
+model_func_shift_inv_za (graph.py:479-515).
+
+Dense-layout rework (SURVEY.md §7 step 5): edge features live in a regular
+(b, N, K, C) array over the kNN graph, with COO row/col/cube segment ids
+replaced by array structure:
+
+  op 1  identity            H @ W1                       (MXU matmul)
+  op 2  pool rows (by col)  scatter-mean by neighbor id, then @ W2, gather
+  op 3  pool cols (by row)  mean over the K axis (free), then @ W3
+  op 4  pool cube           mean over (N, K) (free), then @ W4
+
+The reference matmuls *after* re-broadcasting pooled values over all
+b*N*K edges; here pooled tensors are multiplied at their pooled size
+(b*N or b rows) before broadcasting — mathematically identical (the pool
+and the matmul are both linear), with K..N*K times fewer matmul FLOPs.
+
+Last layer pools edges back to particles: mean over K -> (b, N, q)
+(reference graph.py:454-455).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.models.base import init_network_params
+from nbody_tpu.ops.segment import col_pool_mean
+from nbody_tpu.ops.graph_features import edge_features_za, gather_neighbors
+
+
+def init_shiftinv_params(key: jax.Array, channels: Sequence[int], dtype=jnp.float32):
+    """Per layer: W (4, k_in, k_out), B (1, k_out) (reference utils.py:179-180)."""
+    return init_network_params(key, channels, num_weights=4, num_biases=1,
+                               dtype=dtype)
+
+
+def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
+                    layer_params: Dict[str, jnp.ndarray],
+                    is_last: bool = False) -> jnp.ndarray:
+    """One 4-op layer. h (b, N, K, C) edge features, idx (b, N, K) neighbor ids.
+
+    Returns (b, N, K, q), or (b, N, q) if is_last.
+    """
+    w = layer_params["W"]          # (4, C, q)
+    bias = layer_params["B"][0]    # (q,)
+    dt = h.dtype
+
+    # op 1: no pooling
+    h1 = jnp.einsum("bnkc,cq->bnkq", h, w[0], preferred_element_type=dt)
+
+    # op 2: pool rows (segment = column/neighbor id), matmul pooled, re-broadcast
+    pooled_rows = col_pool_mean(h, idx)                          # (b, N, C)
+    h2 = gather_neighbors(
+        jnp.einsum("bnc,cq->bnq", pooled_rows, w[1], preferred_element_type=dt),
+        idx)                                                     # (b, N, K, q)
+
+    # op 3: pool cols (segment = row id) == mean over K, broadcast over K
+    pooled_cols = jnp.mean(h, axis=2)                            # (b, N, C)
+    h3 = jnp.einsum("bnc,cq->bnq", pooled_cols, w[2],
+                    preferred_element_type=dt)[:, :, None, :]
+
+    # op 4: pool cube == mean over (N, K), broadcast everywhere
+    pooled_all = jnp.mean(h, axis=(1, 2))                        # (b, C)
+    h4 = jnp.einsum("bc,cq->bq", pooled_all, w[3],
+                    preferred_element_type=dt)[:, None, None, :]
+
+    h_out = h1 + h2 + h3 + h4 + bias
+    if is_last:
+        return jnp.mean(h_out, axis=2)                           # pool rows -> (b, N, q)
+    return h_out
+
+
+def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
+                     idx: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
+    """Layer stack (reference network_func_shift_inv_za, graph.py:463-476)."""
+    h = edges
+    num_layers = len(params)
+    for i, layer_params in enumerate(params):
+        is_last = i == num_layers - 1
+        h = shift_inv_layer(h, idx, layer_params, is_last=is_last)
+        if not is_last:
+            h = activation(h)
+    return h
+
+
+def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
+                   idx: jnp.ndarray, box: float,
+                   activation=jax.nn.relu) -> jnp.ndarray:
+    """Full model: featurize + network (reference model_func_shift_inv_za).
+
+    pos (b, N, 3) raw positions (grid + ZA), idx (b, N, K) with self at
+    slot 0, za_disp (b, N, 3).  Returns predicted residual (b, N, 3..q).
+    """
+    edges = edge_features_za(pos, idx, za_disp, box)
+    return shiftinv_network(params, edges, idx, activation)

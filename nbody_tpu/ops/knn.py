@@ -1,0 +1,91 @@
+"""On-device k-nearest-neighbor search with periodic boundaries.
+
+TPU-native replacement for the reference's host-side pipeline
+(sklearn kneighbors_graph + ghost-particle padding + CSR->COO batch algebra,
+reference graph.py:704-713, 798-917, 570-697):
+
+  * Periodicity lives in the distance metric (min-image convention) instead
+    of cloning boundary particles — the ghost-padding subsystem disappears.
+  * Output is a dense (N, K) int32 neighbor-index array — regular shape,
+    jit/vmap/shard-friendly; no sparse formats.
+  * Row-chunked brute force: distances are computed in (chunk, N) tiles so
+    the O(N^2) matrix is never materialized; `jax.lax.top_k` selects
+    neighbors per tile.  Runs inside jit, so the graph rebuild that the
+    reference did on host every step (its structural bottleneck,
+    SURVEY.md §3.2) compiles into the train step.
+
+With `include_self=True`, slot 0 is guaranteed to be the particle itself
+(its distance is forced below all others), which the graph featurizers rely
+on to place ZA displacements on the self-edge (reference graph.py:338-343).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.physics.pbc import min_image_diff
+
+
+def pairwise_min_image_sq_dist(x: jnp.ndarray, y: jnp.ndarray,
+                               box: float = 1.0) -> jnp.ndarray:
+    """(n, 3) x (m, 3) -> (n, m) squared min-image distances."""
+    d2 = jnp.zeros((x.shape[0], y.shape[0]), x.dtype)
+    for dim in range(x.shape[-1]):
+        delta = min_image_diff(x[:, dim:dim + 1], y[None, :, dim], box)
+        d2 = d2 + delta * delta
+    return d2
+
+
+def _chunk_topk(pos_chunk: jnp.ndarray, row_ids: jnp.ndarray, pos: jnp.ndarray,
+                k: int, box: float, include_self: bool) -> jnp.ndarray:
+    """Top-k neighbor indices for one row chunk. pos_chunk (r, 3), pos (N, 3)."""
+    d2 = pairwise_min_image_sq_dist(pos_chunk, pos, box)
+    n = pos.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (pos_chunk.shape[0], n), 1)
+    is_self = col_ids == row_ids[:, None]
+    if include_self:
+        # force self to the front (slot 0): below any true distance
+        d2 = jnp.where(is_self, -1.0, d2)
+    else:
+        d2 = jnp.where(is_self, jnp.inf, d2)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "include_self", "row_chunk"))
+def knn_periodic(pos: jnp.ndarray, k: int, box: float = 1.0,
+                 include_self: bool = True, row_chunk: int = 512) -> jnp.ndarray:
+    """kNN under periodic boundaries. pos (N, 3) -> neighbor indices (N, k).
+
+    Exact (not approximate): every pair is examined, like the reference's
+    exact sklearn search on the ghost-padded cube (graph.py:877-894), but the
+    min-image metric handles the wrap directly.
+    """
+    n = pos.shape[0]
+    chunk = min(row_chunk, n)
+    pad = (-n) % chunk
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0))) if pad else pos
+    num_chunks = (n + pad) // chunk
+    rows = pos_p.reshape(num_chunks, chunk, 3)
+    row_ids = jnp.arange(num_chunks * chunk, dtype=jnp.int32).reshape(
+        num_chunks, chunk)
+
+    def body(carry, xs):
+        pos_chunk, ids = xs
+        idx = _chunk_topk(pos_chunk, ids, pos, k, box, include_self)
+        return carry, idx
+
+    _, idx = jax.lax.scan(body, None, (rows, row_ids))
+    idx = idx.reshape(num_chunks * chunk, k)
+    return idx[:n]
+
+
+def knn_periodic_batch(pos: jnp.ndarray, k: int, box: float = 1.0,
+                       include_self: bool = True, row_chunk: int = 512) -> jnp.ndarray:
+    """Batched kNN: pos (b, N, 3) -> (b, N, k)."""
+    fn = functools.partial(knn_periodic, k=k, box=box,
+                           include_self=include_self, row_chunk=row_chunk)
+    return jax.vmap(fn)(pos)

@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+
+from nbody_tpu.ops.knn import knn_periodic, knn_periodic_batch, pairwise_min_image_sq_dist
+
+
+def _oracle_min_image_d2(pos):
+    """Independent numpy min-image pairwise squared distances, box=1."""
+    d = pos[:, None, :] - pos[None, :, :]
+    d = d - np.round(d)
+    return np.sum(d * d, axis=-1)
+
+
+def _oracle_knn(pos, k, include_self=True):
+    d2 = _oracle_min_image_d2(pos)
+    n = pos.shape[0]
+    if include_self:
+        d2[np.arange(n), np.arange(n)] = -1.0
+    else:
+        d2[np.arange(n), np.arange(n)] = np.inf
+    return np.argsort(d2, axis=1, kind="stable")[:, :k]
+
+
+def test_pairwise_matches_oracle():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+    ours = np.asarray(pairwise_min_image_sq_dist(jnp.asarray(pos), jnp.asarray(pos)))
+    np.testing.assert_allclose(ours, _oracle_min_image_d2(pos), atol=1e-5)
+
+
+def test_knn_matches_oracle_generic_positions():
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, 1, (200, 3)).astype(np.float32)  # generic: no ties
+    k = 8
+    ours = np.asarray(knn_periodic(jnp.asarray(pos), k, row_chunk=64))
+    oracle = _oracle_knn(pos, k)
+    # same neighbor *sets* (ordering may differ among equal distances)
+    np.testing.assert_array_equal(np.sort(ours, 1), np.sort(oracle, 1))
+
+
+def test_knn_self_at_slot_zero():
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    idx = np.asarray(knn_periodic(jnp.asarray(pos), 5))
+    np.testing.assert_array_equal(idx[:, 0], np.arange(64))
+
+
+def test_knn_exclude_self():
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    idx = np.asarray(knn_periodic(jnp.asarray(pos), 5, include_self=False))
+    assert not np.any(idx == np.arange(64)[:, None])
+
+
+def test_knn_periodic_wrap_across_boundary():
+    # two points on opposite faces are each other's nearest neighbor
+    pos = np.array([[0.01, 0.5, 0.5],
+                    [0.99, 0.5, 0.5],
+                    [0.5, 0.5, 0.5],
+                    [0.4, 0.5, 0.5]], dtype=np.float32)
+    idx = np.asarray(knn_periodic(jnp.asarray(pos), 2))
+    assert idx[0, 1] == 1  # wrapped neighbor beats anything in-box
+    assert idx[1, 1] == 0
+
+
+def test_knn_nonuniform_box_via_normalization():
+    # raw box-128 coords, normalized before the call
+    rng = np.random.default_rng(4)
+    pos_raw = rng.uniform(0, 128, (100, 3)).astype(np.float32)
+    idx1 = np.asarray(knn_periodic(jnp.asarray(pos_raw / 128.0), 6))
+    idx2 = np.asarray(knn_periodic(jnp.asarray(pos_raw), 6, box=128.0))
+    np.testing.assert_array_equal(np.sort(idx1, 1), np.sort(idx2, 1))
+
+
+def test_knn_batch_shape_and_consistency():
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0, 1, (3, 40, 3)).astype(np.float32)
+    idx = np.asarray(knn_periodic_batch(jnp.asarray(pos), 4))
+    assert idx.shape == (3, 40, 4)
+    single = np.asarray(knn_periodic(jnp.asarray(pos[1]), 4))
+    np.testing.assert_array_equal(idx[1], single)
+
+
+def test_knn_vs_sklearn_ghost_padding_semantics():
+    """Cross-check against the reference's approach: sklearn kNN on a
+    ghost-padded cube (reference graph.py:827-917) gives the same neighbor
+    sets as our min-image metric."""
+    from sklearn.neighbors import kneighbors_graph
+    rng = np.random.default_rng(6)
+    pos = rng.uniform(0, 1, (80, 3)).astype(np.float64)
+    k = 6
+    # ghost-pad: clone every particle into all 26 shifted images, query kNN
+    shifts = np.array([[i, j, l] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for l in (-1, 0, 1)], dtype=np.float64)
+    padded = (shifts[:, None, :] + pos[None, :, :]).reshape(-1, 3)
+    owner = np.tile(np.arange(80), 27)
+    graph = kneighbors_graph(padded, k, include_self=True)
+    rows = graph[13 * 80:(13 + 1) * 80]  # the unshifted copies (shift [0,0,0])
+    sk_sets = [set(owner[rows[i].indices]) for i in range(80)]
+    ours = np.asarray(knn_periodic(jnp.asarray(pos.astype(np.float32)), k))
+    for i in range(80):
+        assert set(ours[i].tolist()) == sk_sets[i], f"particle {i}"

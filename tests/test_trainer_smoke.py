@@ -1,0 +1,52 @@
+"""End-to-end loss-goes-down smoke tests on synthetic cubes (SURVEY.md §4e)."""
+
+import numpy as np
+import jax
+import pytest
+
+from nbody_tpu import config as C
+from nbody_tpu.data.dataset import Dataset
+from nbody_tpu.train.trainer import Trainer
+
+
+def _cfg(family, channels, cells=8, iters=60, lr=0.003, k=4):
+    return C.Config(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=4, num_val=3,
+                          cells_per_side=cells, synthetic_num_samples=24),
+        model=C.ModelConfig(family=family, channels=channels, k_neighbors=k,
+                            seed=99),
+        train=C.TrainConfig(num_iters=iters, batch_size=2, learn_rate=lr,
+                            checkpoint_every=1000))
+
+
+def _initial_loss(trainer):
+    from nbody_tpu.data.dataset import split_batch
+    import jax.numpy as jnp
+    batch = trainer.dataset.get_minibatch(jax.random.PRNGKey(123), 2)
+    x, y = split_batch(jnp.asarray(batch))
+    _, loss = trainer.eval_step(trainer.state.params, x, y)
+    return float(loss)
+
+
+@pytest.mark.parametrize("family,channels", [
+    ("set", (6, 32, 16, 3)),
+    ("shiftinv", (3, 16, 8, 3)),
+    ("attn", (6, 16, 16, 3)),
+])
+def test_loss_decreases(family, channels):
+    trainer = Trainer(_cfg(family, channels))
+    loss0 = _initial_loss(trainer)
+    last = trainer.fit(verbose=False)
+    assert np.isfinite(last)
+    assert last < loss0, f"{family}: {last} !< {loss0}"
+
+
+def test_eval_cube_layout():
+    trainer = Trainer(_cfg("set", (6, 16, 3), iters=2))
+    trainer.fit(verbose=False)
+    errors, preds = trainer.evaluate(verbose=False)
+    assert preds.shape == (2, 4, 512, 3)
+    assert errors.shape == (2,)
+    # slot 0 holds ground truth
+    np.testing.assert_allclose(preds[0, :4], trainer.dataset.X_test[:4, :, 6:],
+                               atol=1e-6)
