@@ -1,0 +1,201 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.models.shiftinv15 import (
+    SymGraph, build_sym_graph, sym_edge_features_za, init_shiftinv15_params,
+    shift_inv_15op_layer, shiftinv15_model)
+from nbody_tpu.ops.knn import knn_periodic
+
+N, K = 20, 4
+CHANNELS = [3, 6, 5, 3]
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    box = 8.0
+    pos = rng.uniform(0, box, (N, 3)).astype(np.float32)
+    za = 0.1 * rng.normal(size=(N, 3)).astype(np.float32)
+    idx = np.asarray(knn_periodic(jnp.asarray(pos / box), K))
+    return box, pos, za, idx
+
+
+def test_sym_graph_is_symmetric_and_tra_involution():
+    _, pos, _, idx = _setup()
+    g = build_sym_graph(jnp.asarray(idx))
+    row, col = np.asarray(g.row), np.asarray(g.col)
+    tra, valid = np.asarray(g.tra), np.asarray(g.valid).astype(bool)
+
+    # valid slots hold each symmetrized edge exactly once
+    edges = set(zip(row[valid].tolist(), col[valid].tolist()))
+    dense = np.zeros((N, N), bool)
+    dense[np.repeat(np.arange(N), K), idx.reshape(-1)] = True
+    sym = dense | dense.T
+    expect = {(r, c) for r in range(N) for c in range(N) if sym[r, c]}
+    assert edges == expect
+    assert len(edges) == valid.sum()  # no duplicate live slots
+
+    # transpose permutation maps (r, c) -> (c, r) and is an involution
+    for e in np.where(valid)[0]:
+        t = tra[e]
+        assert valid[t]
+        assert (row[t], col[t]) == (col[e], row[e])
+        assert tra[t] == e
+
+    # diagonal slots are the self-edges
+    dia = np.asarray(g.dia)
+    np.testing.assert_array_equal(row[dia], np.arange(N))
+    np.testing.assert_array_equal(col[dia], np.arange(N))
+
+
+def _oracle_adj_and_features(pos, za, idx, box):
+    """Reference-semantics COO oracle: enumerate the symmetrized adjacency
+    densely, build the adj index dict (graph.py:44-55), min-image features."""
+    dense = np.zeros((N, N), bool)
+    dense[np.repeat(np.arange(N), K), idx.reshape(-1)] = True
+    sym = dense | dense.T
+    rr, cc = np.nonzero(sym)                       # row-major edge order
+    eid = {(r, c): e for e, (r, c) in enumerate(zip(rr, cc))}
+    tra = np.array([eid[(c, r)] for r, c in zip(rr, cc)])
+    dia = np.array([eid[(i, i)] for i in range(N)])
+    d = pos[cc] - pos[rr]
+    d -= box * np.round(d / box)
+    feats = d.astype(np.float32)
+    feats[dia] = za                                 # ZA on self-edges
+    return dict(row=rr, col=cc, tra=tra, dia=dia), feats, eid
+
+
+def _oracle_15op(h, adj, w, b, is_last):
+    """Literal numpy transcription of the reference layer semantics
+    (graph.py:131-200), single sample."""
+    def pool(vals, ids, num):
+        out = np.zeros((num, vals.shape[-1]), np.float32)
+        cnt = np.zeros(num, np.float32)
+        np.add.at(out, ids, vals)
+        np.add.at(cnt, ids, 1.0)
+        cnt[cnt == 0] = 1.0
+        return out / cnt[:, None]
+
+    s = h.shape[0]
+    q = w.shape[-1]
+    rr, cc, tra, dia = adj["row"], adj["col"], adj["tra"], adj["dia"]
+    allid = np.zeros(s, np.int64)
+    dal = np.zeros(N, np.int64)
+
+    def to_diag(vals):
+        out = np.zeros((s, q), np.float32)
+        out[dia] = vals
+        return out
+
+    hd = h[dia]
+    hr = pool(h, cc, N)
+    hc = pool(h, rr, N)
+    ha = pool(h, allid, 1)
+    hp = pool(hd, dal, 1)
+
+    terms = [
+        h @ w[0],
+        h[tra] @ w[1],
+        to_diag(hd @ w[2]),
+        (hr @ w[3])[cc],
+        (hr @ w[4])[rr],
+        to_diag(hr @ w[5]),
+        (hc @ w[6])[rr],
+        (hc @ w[7])[cc],
+        to_diag(hc @ w[8]),
+        (ha @ w[9])[allid],
+        to_diag((ha @ w[10])[dal]),
+        (hp @ w[11])[allid],
+        to_diag((hp @ w[12])[dal]),
+        (hd @ w[13])[cc],
+        (hd @ w[14])[rr],
+    ]
+    out = sum(terms) + to_diag(np.tile(b[0], (N, 1))) + b[1]
+    if is_last:
+        return pool(out, rr, N)
+    return out
+
+
+def test_layer_matches_reference_coo_oracle():
+    box, pos, za, idx = _setup(1)
+    params = init_shiftinv15_params(jax.random.PRNGKey(0), CHANNELS)
+    p0 = params[0]
+    w = np.asarray(p0["W"])
+    b = np.asarray(p0["B"])
+
+    g = build_sym_graph(jnp.asarray(idx))
+    feats = np.asarray(sym_edge_features_za(jnp.asarray(pos), jnp.asarray(idx),
+                                            jnp.asarray(za), box))
+    feats = feats * np.asarray(g.valid)[:, None]
+
+    adj, oracle_feats, eid = _oracle_adj_and_features(pos, za, idx, box)
+
+    # input features agree slot-by-edge
+    row, col = np.asarray(g.row), np.asarray(g.col)
+    valid = np.asarray(g.valid).astype(bool)
+    for e in np.where(valid)[0]:
+        np.testing.assert_allclose(feats[e], oracle_feats[eid[(row[e], col[e])]],
+                                   atol=1e-5)
+
+    for is_last in (False, True):
+        ours = np.asarray(shift_inv_15op_layer(
+            jnp.asarray(feats)[None], jax.tree_util.tree_map(lambda x: x[None], g),
+            p0, is_last=is_last))[0]
+        oracle = _oracle_15op(oracle_feats, adj, w, b, is_last)
+        if is_last:
+            np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+        else:
+            for e in np.where(valid)[0]:
+                np.testing.assert_allclose(
+                    ours[e], oracle[eid[(row[e], col[e])]], rtol=1e-4, atol=1e-5,
+                    err_msg=f"slot {e} edge {(row[e], col[e])}")
+
+
+def _batched(seed):
+    rng = np.random.default_rng(seed)
+    box = 8.0
+    pos = rng.uniform(0, box, (2, N, 3)).astype(np.float32)
+    za = 0.1 * rng.normal(size=(2, N, 3)).astype(np.float32)
+    params = init_shiftinv15_params(jax.random.PRNGKey(seed), CHANNELS)
+    return box, jnp.asarray(pos), jnp.asarray(za), params
+
+
+def _knn_b(pos, box):
+    from nbody_tpu.ops.knn import knn_periodic_batch
+    return knn_periodic_batch(jnp.mod(pos / box, 1.0), K)
+
+
+def test_model_output_shape():
+    box, pos, za, params = _batched(2)
+    out = shiftinv15_model(params, pos, za, _knn_b(pos, box), box)
+    assert out.shape == (2, N, 3)
+
+
+def test_model_shift_invariance():
+    box, pos, za, params = _batched(3)
+    out1 = np.asarray(shiftinv15_model(params, pos, za, _knn_b(pos, box), box))
+    shift = jnp.asarray([1.3, -2.1, 0.7])
+    pos2 = jnp.mod(pos + shift, box)
+    out2 = np.asarray(shiftinv15_model(params, pos2, za, _knn_b(pos2, box), box))
+    np.testing.assert_allclose(out1, out2, rtol=1e-3, atol=1e-4)
+
+
+def test_model_permutation_equivariance():
+    box, pos, za, params = _batched(4)
+    out = np.asarray(shiftinv15_model(params, pos, za, _knn_b(pos, box), box))
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(9), N))
+    pos_p, za_p = pos[:, perm], za[:, perm]
+    out_p = np.asarray(shiftinv15_model(params, pos_p, za_p, _knn_b(pos_p, box), box))
+    np.testing.assert_allclose(out_p, out[:, perm], rtol=1e-3, atol=1e-4)
+
+
+def test_gradients_flow():
+    box, pos, za, params = _batched(5)
+    idx = _knn_b(pos, box)
+
+    def loss(p):
+        return jnp.sum(shiftinv15_model(p, pos, za, idx, box) ** 2)
+
+    grads = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0

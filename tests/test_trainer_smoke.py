@@ -31,6 +31,7 @@ def _initial_loss(trainer):
 @pytest.mark.parametrize("family,channels", [
     ("set", (6, 32, 16, 3)),
     ("shiftinv", (3, 16, 8, 3)),
+    ("shiftinv15", (3, 8, 8, 3)),
     ("attn", (6, 16, 16, 3)),
 ])
 def test_loss_decreases(family, channels):
