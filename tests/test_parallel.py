@@ -1,0 +1,118 @@
+"""Multi-device tests on the virtual 8-device CPU platform (SURVEY.md §4d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from nbody_tpu import config as C
+from nbody_tpu.models.registry import build_model
+from nbody_tpu.ops.knn import knn_periodic
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.parallel.sharding import (
+    batch_sharding, make_sharded_train_step, make_sharded_eval_step,
+    knn_periodic_sharded)
+from nbody_tpu.parallel.ensemble import (
+    init_ensemble_state, make_ensemble_train_step, ensemble_apply)
+from nbody_tpu.train.trainer import init_train_state, make_train_step
+from nbody_tpu.data.synthetic import synthetic_raw_cubes
+from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+
+def _batch(cells=8, b=4, seed=0):
+    raw = synthetic_raw_cubes(num_samples=b, cells=cells, seed=seed)
+    x = features_from_raw(raw)
+    return split_batch(jnp.asarray(x))
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_knn_matches_single_device():
+    mesh = make_mesh(data=1, particle=4)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 1, (128, 3)).astype(np.float32))
+    ref = np.asarray(knn_periodic(pos, 6))
+    pos_sh = jax.device_put(
+        pos, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("particle", None)))
+    ours = np.asarray(knn_periodic_sharded(pos_sh, 6, mesh))
+    np.testing.assert_array_equal(np.sort(ours, 1), np.sort(ref, 1))
+    np.testing.assert_array_equal(ours[:, 0], np.arange(128))
+
+
+@pytest.mark.parametrize("family,channels,dp,sp", [
+    ("set", (6, 16, 8, 3), 4, 2),
+    ("shiftinv", (3, 8, 8, 3), 2, 2),
+])
+def test_sharded_train_step_matches_unsharded(family, channels, dp, sp):
+    """dp x sp sharded step computes the same update as the single-device step."""
+    mesh = make_mesh(data=dp, particle=sp)
+    cfg = C.ModelConfig(family=family, channels=channels, k_neighbors=4, seed=3)
+    model = build_model(cfg, box=32.0)
+    opt = optax.adam(1e-3)
+
+    x_in, y = _batch(b=4)
+    state0 = init_train_state(model, opt, seed=3)
+
+    plain_step = make_train_step(model, opt)
+    state_ref, loss_ref = plain_step(state0, x_in, y)
+
+    state0b = init_train_state(model, opt, seed=3)
+    sh_step = make_sharded_train_step(model, opt, mesh)
+    xs = jax.device_put(x_in, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    state_sh, loss_sh = sh_step(state0b, xs, ys)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_ref.params),
+                     jax.tree_util.tree_leaves(state_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_eval_step():
+    mesh = make_mesh(data=2, particle=2)
+    cfg = C.ModelConfig(family="set", channels=(6, 16, 3), seed=1)
+    model = build_model(cfg, box=32.0)
+    x_in, y = _batch(b=4)
+    params = model.init(jax.random.PRNGKey(1))
+    step = make_sharded_eval_step(model, mesh)
+    pred, loss = step(params, jax.device_put(x_in, batch_sharding(mesh)),
+                      jax.device_put(y, batch_sharding(mesh)))
+    assert pred.shape == y.shape and np.isfinite(float(loss))
+
+
+def test_ensemble_members_are_independent():
+    mesh = make_mesh(data=8, particle=1)
+    cfg = C.ModelConfig(family="set", channels=(6, 8, 3), seed=0)
+    model = build_model(cfg, box=32.0)
+    opt = optax.adam(1e-3)
+    seeds = list(range(8))
+    state = init_ensemble_state(model, opt, seeds)
+    step = make_ensemble_train_step(model, opt, mesh)
+
+    x_in, y = _batch(b=2, seed=5)
+    state, losses = step(state, x_in, y)
+    assert losses.shape == (8,)
+
+    # member i of the ensemble == independently trained model with seed i
+    solo = init_train_state(model, opt, seed=seeds[3])
+    solo_step = make_train_step(model, opt)
+    solo, solo_loss = solo_step(solo, x_in, y)
+    np.testing.assert_allclose(float(losses[3]), float(solo_loss), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(solo.params),
+                     jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_)[3],
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_ensemble_apply_shape():
+    mesh = make_mesh(data=4, particle=1)
+    cfg = C.ModelConfig(family="set", channels=(6, 8, 3), seed=0)
+    model = build_model(cfg, box=32.0)
+    state = init_ensemble_state(model, optax.adam(1e-3), [0, 1, 2, 3])
+    x_in, _ = _batch(b=2, seed=6)
+    out = ensemble_apply(model, state.params, x_in)
+    assert out.shape == (4, 2, 512, 3)
