@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: particle-steps/sec of the flagship training step.
+
+Workload (BASELINE.json config 2): shift-invariant kNN graph network,
+32^3-particle cube, batch 4, K=14, periodic boundaries — the FULL train
+step including the on-device periodic kNN graph rebuild, network fwd/bwd,
+and Adam update, as one jitted donated XLA program on the TPU.
+
+Baseline denominator: the measured CPU reference pipeline
+(BASELINE_MEASURED.json; see nbody_tpu/baseline_cpu.py) — host sklearn
+PBC-kNN per step + jitted CPU network step, 22.75 s/step on this machine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+CELLS = 32
+BATCH = 4
+K = 14
+WARMUP = 3
+ITERS = 10
+
+
+def load_or_measure_baseline() -> dict:
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            return json.load(f)
+    # measure in a CPU subprocess (this process owns the TPU)
+    out = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu.baseline_cpu",
+         "--cells", str(CELLS), "-b", str(BATCH), "-k", str(K)],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(data, f, indent=2)
+    return data
+
+
+def measure_tpu_graph_step() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from nbody_tpu import config as C
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.train.trainer import init_train_state, make_train_step
+
+    n = CELLS ** 3
+    raw = synthetic_raw_cubes(num_samples=2 * BATCH, cells=CELLS, seed=0)
+    x = features_from_raw(raw)
+    model = build_model(
+        C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
+                      k_neighbors=K), box=4.0 * CELLS)
+    opt = optax.adam(1e-3)
+    state = init_train_state(model, opt)
+    step = make_train_step(model, opt)
+
+    batches = [split_batch(jnp.asarray(x[i * BATCH:(i + 1) * BATCH]))
+               for i in range(2)]
+    times = []
+    for i in range(WARMUP + ITERS):
+        x_in, y = batches[i % 2]
+        t0 = time.perf_counter()
+        state, loss = step(state, x_in, y)
+        jax.block_until_ready(loss)
+        if i >= WARMUP:
+            times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return BATCH * n / sec
+
+
+def main():
+    baseline = load_or_measure_baseline()
+    base_pps = baseline["graph"]["particle_steps_per_sec"]
+    pps = measure_tpu_graph_step()
+    print(json.dumps({
+        "metric": "train_step_throughput_shiftinv_32c_k14_b4",
+        "value": round(pps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(pps / base_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

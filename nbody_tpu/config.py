@@ -105,6 +105,10 @@ class ModelConfig:
     # attention model extras (reference experiment.py:22-33)
     batch_coupled_gate: bool = True           # reference reshapes (B*N,k) before the gate
     dtype: str = "float32"                    # compute dtype for activations
+    # neighbor-index band for the MXU gather/scatter path (ops/banded.py):
+    # "auto" derives it from the cube geometry; None disables the band
+    # assumption (exact for arbitrary point sets); an int sets it explicitly.
+    band: object = "auto"
 
     @property
     def num_layers(self) -> int:

@@ -33,6 +33,13 @@ def _graph_geometry(x_in: jnp.ndarray, box: float):
     return pos, za
 
 
+def _resolve_band(cfg: C.ModelConfig, box: float):
+    if cfg.band == "auto":
+        from nbody_tpu.ops.banded import default_band
+        return default_band(int(round(box / 4.0)))
+    return cfg.band
+
+
 def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
     dtype = jnp.dtype(cfg.dtype)
     channels = list(cfg.channels)
@@ -55,6 +62,8 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
             channels = list(C.GRAPH_CHANNELS)
         k = cfg.k_neighbors
 
+        band = _resolve_band(cfg, box)
+
         if cfg.family == "shiftinv":
             from nbody_tpu.models import shiftinv
 
@@ -65,7 +74,8 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
                 pos, za = _graph_geometry(x_in, box)
                 idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
                 return shiftinv.shiftinv_model(
-                    params, pos.astype(dtype), za.astype(dtype), idx, box)
+                    params, pos.astype(dtype), za.astype(dtype), idx, box,
+                    band=band)
 
             return Model(init, apply, "shiftinv")
 

@@ -24,14 +24,14 @@ Last layer pools edges back to particles: mean over K -> (b, N, q)
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from nbody_tpu.models.base import init_network_params
-from nbody_tpu.ops.segment import col_pool_mean
-from nbody_tpu.ops.graph_features import edge_features_za, gather_neighbors
+from nbody_tpu.ops.banded import neighbor_gather, neighbor_segment_mean
+from nbody_tpu.ops.graph_features import edge_features_za
 
 
 def init_shiftinv_params(key: jax.Array, channels: Sequence[int], dtype=jnp.float32):
@@ -42,7 +42,8 @@ def init_shiftinv_params(key: jax.Array, channels: Sequence[int], dtype=jnp.floa
 
 def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
                     layer_params: Dict[str, jnp.ndarray],
-                    is_last: bool = False) -> jnp.ndarray:
+                    is_last: bool = False,
+                    band: Optional[int] = None) -> jnp.ndarray:
     """One 4-op layer. h (b, N, K, C) edge features, idx (b, N, K) neighbor ids.
 
     Returns (b, N, K, q), or (b, N, q) if is_last.
@@ -55,10 +56,10 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     h1 = jnp.einsum("bnkc,cq->bnkq", h, w[0], preferred_element_type=dt)
 
     # op 2: pool rows (segment = column/neighbor id), matmul pooled, re-broadcast
-    pooled_rows = col_pool_mean(h, idx)                          # (b, N, C)
-    h2 = gather_neighbors(
+    pooled_rows = neighbor_segment_mean(h, idx, band)            # (b, N, C)
+    h2 = neighbor_gather(
         jnp.einsum("bnc,cq->bnq", pooled_rows, w[1], preferred_element_type=dt),
-        idx)                                                     # (b, N, K, q)
+        idx, band)                                               # (b, N, K, q)
 
     # op 3: pool cols (segment = row id) == mean over K, broadcast over K
     pooled_cols = jnp.mean(h, axis=2)                            # (b, N, C)
@@ -77,13 +78,14 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
 
 
 def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
-                     idx: jnp.ndarray, activation=jax.nn.relu) -> jnp.ndarray:
+                     idx: jnp.ndarray, activation=jax.nn.relu,
+                     band: Optional[int] = None) -> jnp.ndarray:
     """Layer stack (reference network_func_shift_inv_za, graph.py:463-476)."""
     h = edges
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
-        h = shift_inv_layer(h, idx, layer_params, is_last=is_last)
+        h = shift_inv_layer(h, idx, layer_params, is_last=is_last, band=band)
         if not is_last:
             h = activation(h)
     return h
@@ -91,11 +93,12 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
 
 def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                    idx: jnp.ndarray, box: float,
-                   activation=jax.nn.relu) -> jnp.ndarray:
+                   activation=jax.nn.relu,
+                   band: Optional[int] = None) -> jnp.ndarray:
     """Full model: featurize + network (reference model_func_shift_inv_za).
 
     pos (b, N, 3) raw positions (grid + ZA), idx (b, N, K) with self at
     slot 0, za_disp (b, N, 3).  Returns predicted residual (b, N, 3..q).
     """
-    edges = edge_features_za(pos, idx, za_disp, box)
-    return shiftinv_network(params, edges, idx, activation)
+    edges = edge_features_za(pos, idx, za_disp, box, band)
+    return shiftinv_network(params, edges, idx, activation, band)

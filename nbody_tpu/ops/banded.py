@@ -1,0 +1,224 @@
+"""Banded gather/scatter as tiled one-hot matmuls (the MXU path).
+
+Motivation (measured on this TPU): XLA dynamic gather of 1.8M rows runs at
+~60 MB/s here — pathological — while MXU matmuls run at TFLOP/s.  The
+N-body kNN graph has structure that converts gathers into matmuls:
+particles sit on a near-uniform grid in index order (reference grid,
+utils.py:611-613), so a particle's spatial neighbors are also its *index*
+neighbors — the circular relative offset ((idx - n + N/2) mod N) - N/2 is
+bounded by a small band (grid-adjacent sites differ by at most
+~cells^2 + cells + 1 indices, plus displacement jitter).
+
+banded_gather(values, idx):   out[n, k] = values[idx[n, k]]
+banded_scatter_add(vals, idx): out[j] = sum over (n, k) with idx[n,k]==j
+
+Both are computed per row-tile of R particles against a value "slab" of
+R + band columns (circularly padded), via a one-hot (R*K, R+band) matrix
+multiplied on the MXU.  One-hot selection is EXACT regardless of matmul
+precision: every product is value * {0,1} and each one-hot row has a single
+nonzero, so no rounding of sums occurs in the gather (the scatter sums are
+ordinary f32 accumulation).
+
+band=None means band=N: no structural assumption, always exact — used in
+tests and for irregular point sets.  The performance path picks a band from
+the cube geometry (see `default_band`).  Gradients are automatic: the VJP
+of a one-hot matmul is the transposed one-hot matmul — also MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def default_band(cells: int) -> int:
+    """Safe index band for a cells^3 cube: neighbors within +-3 grid sites
+    in each dimension plus slack covers |d_index| <= 3*(c^2 + c + 1) << c^3."""
+    n = cells ** 3
+    return min(n, _round_up(8 * cells * cells, 256))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_size(n: int) -> int:
+    return min(n, 256)
+
+
+def _circular_pad(values: jnp.ndarray, half: int) -> jnp.ndarray:
+    """(N, C) -> (N + 2*half, C) with wraparound on both ends."""
+    if half == 0:
+        return values
+    return jnp.concatenate([values[-half:], values, values[:half]], axis=0)
+
+
+def _slab_positions(idx_tile: jnp.ndarray, row_ids: jnp.ndarray, t0: jnp.ndarray,
+                    n: int, half: int) -> jnp.ndarray:
+    """Map target ids to positions within the tile's slab [t0-half, t0+R+half)."""
+    rel = jnp.mod(idx_tile - row_ids + n // 2, n) - n // 2   # circular offset
+    return rel + (row_ids - t0) + half
+
+
+def banded_gather(values: jnp.ndarray, idx: jnp.ndarray,
+                  band: Optional[int] = None) -> jnp.ndarray:
+    """values (N, C), idx (N, K) -> (N, K, C) = values[idx] via MXU matmuls."""
+    n, c = values.shape
+    k = idx.shape[-1]
+    band = n if band is None else min(band, n)
+    half = band // 2
+    r = _tile_size(n)
+    num_tiles = n // r
+    assert n % r == 0, "N must be divisible by the tile size"
+    slab = r + 2 * half
+
+    vpad = _circular_pad(values, half)                 # (N + 2*half, C)
+    idx_tiles = idx.reshape(num_tiles, r, k)
+    rows = jnp.arange(n, dtype=jnp.int32).reshape(num_tiles, r)
+    lane = jnp.arange(slab, dtype=jnp.int32)[None, :]
+
+    def tile_fn(carry, xs):
+        idx_t, row_t = xs
+        t0 = row_t[0]
+        p = _slab_positions(idx_t, row_t[:, None], t0, n, half)   # (R, K)
+        oh = (p.reshape(r * k, 1) == lane).astype(values.dtype)   # (R*K, slab)
+        slab_vals = jax.lax.dynamic_slice(vpad, (t0, 0), (slab, c))
+        out = jnp.dot(oh, slab_vals, preferred_element_type=values.dtype)
+        return carry, out
+
+    _, out = jax.lax.scan(tile_fn, None, (idx_tiles, rows))
+    return out.reshape(n, k, c)
+
+
+def banded_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
+                       band: Optional[int] = None) -> jnp.ndarray:
+    """vals (N, K, C), idx (N, K) -> (N, C): sum of vals grouped by target id.
+
+    The transpose of banded_gather: per tile, oh^T @ vals accumulates into a
+    circularly padded accumulator; the pad ends fold back afterwards.
+    """
+    n, k, c = vals.shape
+    band = n if band is None else min(band, n)
+    half = band // 2
+    r = _tile_size(n)
+    num_tiles = n // r
+    slab = r + 2 * half
+
+    idx_tiles = idx.reshape(num_tiles, r, k)
+    val_tiles = vals.reshape(num_tiles, r * k, c)
+    rows = jnp.arange(n, dtype=jnp.int32).reshape(num_tiles, r)
+    lane = jnp.arange(slab, dtype=jnp.int32)[None, :]
+
+    def tile_fn(acc, xs):
+        idx_t, val_t, row_t = xs
+        t0 = row_t[0]
+        p = _slab_positions(idx_t, row_t[:, None], t0, n, half)
+        oh = (p.reshape(r * k, 1) == lane).astype(vals.dtype)     # (R*K, slab)
+        contrib = jnp.dot(oh.T, val_t, preferred_element_type=vals.dtype)
+        cur = jax.lax.dynamic_slice(acc, (t0, 0), (slab, c))
+        return jax.lax.dynamic_update_slice(acc, cur + contrib, (t0, 0)), None
+
+    acc0 = jnp.zeros((n + 2 * half, c), vals.dtype)
+    acc, _ = jax.lax.scan(tile_fn, acc0, (idx_tiles, val_tiles, rows))
+    out = acc[half:half + n]
+    if half:
+        out = out.at[:half].add(acc[half + n:])
+        out = out.at[n - half:].add(acc[:half])
+    return out
+
+
+def banded_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
+                        band: Optional[int] = None) -> jnp.ndarray:
+    """Mean of edge values grouped by target id (tf.unsorted_segment_mean
+    semantics on the kNN graph: empty targets -> 0)."""
+    n = vals.shape[0]
+    sums = banded_scatter_add(vals, idx, band)
+    ones = jnp.ones(idx.shape + (1,), vals.dtype)
+    cnt = banded_scatter_add(ones, idx, band)[:, 0]
+    return sums / jnp.maximum(cnt, 1.0)[:, None]
+
+
+def band_violations(idx: jnp.ndarray, band: int) -> jnp.ndarray:
+    """Count neighbor links outside the circular band (diagnostic; a correct
+    band has zero).  idx (..., N, K)."""
+    n = idx.shape[-2]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rel = jnp.mod(idx - rows + n // 2, n) - n // 2
+    return jnp.sum((rel < -(band // 2)) | (rel >= band // 2 + (band - 2 * (band // 2))))
+
+
+# ---------------------------------------------------------------------------
+# Batched dispatch: Pallas kernels on TPU, jnp one-hot matmuls elsewhere.
+# Custom VJPs close the loop: gather^T == scatter-add, so both directions
+# stay on the MXU (XLA's native gather/scatter are pathologically slow on
+# this TPU — measured ~60 MB/s; see ops/pallas/banded_kernels.py).
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
+
+
+def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
+    if _use_pallas():
+        from nbody_tpu.ops.pallas.banded_kernels import banded_gather_pallas
+        return banded_gather_pallas(values, idx, band)
+    return jax.vmap(lambda v, i: banded_gather(v, i, band))(values, idx)
+
+
+def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
+    if _use_pallas():
+        from nbody_tpu.ops.pallas.banded_kernels import banded_scatter_add_pallas
+        return banded_scatter_add_pallas(vals, idx, band)
+    return jax.vmap(lambda v, i: banded_scatter_add(v, i, band))(vals, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
+                    band: Optional[int] = None) -> jnp.ndarray:
+    """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C)."""
+    return _gather_impl(values, idx, band)
+
+
+def _ng_fwd(values, idx, band):
+    return _gather_impl(values, idx, band), idx
+
+
+def _ng_bwd(band, idx, ct):
+    return _scatter_impl(ct, idx, band), None
+
+
+neighbor_gather.defvjp(_ng_fwd, _ng_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
+                         band: Optional[int] = None) -> jnp.ndarray:
+    """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
+    return _scatter_impl(vals, idx, band)
+
+
+def _ns_fwd(vals, idx, band):
+    return _scatter_impl(vals, idx, band), idx
+
+
+def _ns_bwd(band, idx, ct):
+    return _gather_impl(ct, idx, band), None
+
+
+neighbor_scatter_add.defvjp(_ns_fwd, _ns_bwd)
+
+
+def neighbor_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
+                          band: Optional[int] = None) -> jnp.ndarray:
+    """Batched mean of edge values grouped by neighbor id: (b,N,K,C)->(b,N,C).
+
+    tf.unsorted_segment_mean semantics (empty targets -> 0); counts are a
+    by-product scatter of ones (not differentiated — idx is integer)."""
+    sums = neighbor_scatter_add(vals, idx, band)
+    ones = jnp.ones(idx.shape + (1,), vals.dtype)
+    cnt = jax.lax.stop_gradient(neighbor_scatter_add(ones, idx, band))[..., 0]
+    return sums / jnp.maximum(cnt, 1.0)[..., None]

@@ -6,7 +6,9 @@ include_node_features (graph.py:245-275).
 
 Dense-layout rework: with neighbor indices (b, N, K) and self at slot 0,
 "scatter ZA displacement onto the diagonal self-edges" (graph.py:338-342)
-is a plain slice assignment of slot 0.
+is a plain slice assignment of slot 0.  Neighbor access goes through
+ops.banded.neighbor_gather (MXU one-hot matmuls / Pallas on TPU) because
+XLA's dynamic gather is pathologically slow on this hardware.
 
 Deviation (a fix): relative positions use the min-image convention.  The
 reference gathers *original* (unpadded) positions for ghost-remapped
@@ -19,46 +21,38 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
+from nbody_tpu.ops.banded import neighbor_gather
 from nbody_tpu.physics.pbc import min_image_diff
 
 
-def edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray,
-                     za_disp: jnp.ndarray, box: float) -> jnp.ndarray:
+def edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray, za_disp: jnp.ndarray,
+                     box: float, band: Optional[int] = None) -> jnp.ndarray:
     """Edges = neighbor relative positions, ZA displacement on the self-edge.
 
     pos (b, N, 3) raw positions; idx (b, N, K) with idx[..., 0] == self;
     za_disp (b, N, 3).  Returns (b, N, K, 3).
     """
-    nbr = _gather_neighbors(pos, idx)
+    nbr = neighbor_gather(pos, idx, band)
     edges = min_image_diff(nbr, pos[:, :, None, :], box)
     # self-edge (slot 0) carries the ZA displacement (graph.py:338-343)
     return edges.at[:, :, 0, :].set(za_disp)
 
 
-def _gather_neighbors(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """values (b, N, C), idx (b, N, K) -> (b, N, K, C)."""
-    return jax.vmap(lambda v, i: v[i])(values, idx)
-
-
-def gather_neighbors(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Public alias of the neighbor gather."""
-    return _gather_neighbors(values, idx)
-
-
 def edge_features_with_nodes(pos: jnp.ndarray, idx: jnp.ndarray,
                              node_feats: jnp.ndarray, box: float,
+                             band: Optional[int] = None,
                              redshift: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Edges + broadcast node features (reference include_node_features).
 
     Returns (b, N, K, 3 + 2*C_node [+1]): [rel_pos, node[row], node[col], z?].
     """
-    edges = min_image_diff(_gather_neighbors(pos, idx), pos[:, :, None, :], box)
-    k = idx.shape[-1]
-    rows = jnp.broadcast_to(node_feats[:, :, None, :], edges.shape[:3] + (node_feats.shape[-1],))
-    cols = _gather_neighbors(node_feats, idx)
+    edges = min_image_diff(neighbor_gather(pos, idx, band),
+                           pos[:, :, None, :], box)
+    rows = jnp.broadcast_to(node_feats[:, :, None, :],
+                            edges.shape[:3] + (node_feats.shape[-1],))
+    cols = neighbor_gather(node_feats, idx, band)
     feats = [edges, rows, cols]
     if redshift is not None:
         z = jnp.broadcast_to(redshift.reshape(-1, 1, 1, 1),

@@ -1,0 +1,113 @@
+"""Banded gather/scatter: jnp path and Pallas kernels (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.ops.banded import (
+    banded_gather, banded_scatter_add, banded_segment_mean, band_violations,
+    default_band)
+from nbody_tpu.ops.pallas.banded_kernels import (
+    banded_gather_pallas, banded_scatter_add_pallas)
+
+N, K, C, B = 256, 6, 5, 2
+
+
+def _structured(seed=0, spread=40):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(N, C)).astype(np.float32)
+    rel = rng.integers(-spread, spread, (N, K))
+    idx = ((np.arange(N)[:, None] + rel) % N).astype(np.int32)
+    vals = rng.normal(size=(N, K, C)).astype(np.float32)
+    return v, idx, vals
+
+
+@pytest.mark.parametrize("band", [None, 128, N])
+def test_jnp_gather_exact(band):
+    v, idx, _ = _structured()
+    out = np.asarray(banded_gather(jnp.asarray(v), jnp.asarray(idx), band))
+    np.testing.assert_array_equal(out, v[idx])
+
+
+@pytest.mark.parametrize("band", [None, 128])
+def test_jnp_scatter_matches_add_at(band):
+    _, idx, vals = _structured(1)
+    out = np.asarray(banded_scatter_add(jnp.asarray(vals), jnp.asarray(idx), band))
+    ref = np.zeros((N, C), np.float32)
+    np.add.at(ref, idx.reshape(-1), vals.reshape(-1, C))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_jnp_segment_mean():
+    _, idx, vals = _structured(2)
+    out = np.asarray(banded_segment_mean(jnp.asarray(vals), jnp.asarray(idx), 128))
+    sums = np.zeros((N, C), np.float32)
+    cnt = np.zeros(N, np.float32)
+    np.add.at(sums, idx.reshape(-1), vals.reshape(-1, C))
+    np.add.at(cnt, idx.reshape(-1), 1.0)
+    ref = sums / np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_gather_grad_is_scatter():
+    v, idx, _ = _structured(3)
+    ct = np.random.default_rng(4).normal(size=(N, K, C)).astype(np.float32)
+
+    def f(vv):
+        return jnp.sum(banded_gather(vv, jnp.asarray(idx), 128) * jnp.asarray(ct))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(v)))
+    ref = np.zeros((N, C), np.float32)
+    np.add.at(ref, idx.reshape(-1), ct.reshape(-1, C))
+    np.testing.assert_allclose(g, ref, atol=1e-4)
+
+
+def test_band_violations_counts():
+    _, idx, _ = _structured(5, spread=40)
+    assert int(band_violations(jnp.asarray(idx), 128)) == 0
+    assert int(band_violations(jnp.asarray(idx), 16)) > 0
+
+
+def test_default_band_reasonable():
+    assert default_band(32) >= 8 * 32 * 32
+    assert default_band(8) <= 512
+
+
+def _batched(seed=0, spread=40):
+    v, idx, vals = _structured(seed, spread)
+    rng = np.random.default_rng(seed + 100)
+    v2, idx2, vals2 = _structured(seed + 1, spread)
+    return (np.stack([v, v2]), np.stack([idx, idx2]).astype(np.int32),
+            np.stack([vals, vals2]))
+
+
+@pytest.mark.parametrize("band", [None, 128])
+def test_pallas_gather_interpret(band):
+    v, idx, _ = _batched()
+    out = np.asarray(banded_gather_pallas(jnp.asarray(v), jnp.asarray(idx),
+                                          band, interpret=True))
+    for b in range(B):
+        np.testing.assert_array_equal(out[b], v[b][idx[b]])
+
+
+@pytest.mark.parametrize("band", [None, 128])
+def test_pallas_scatter_interpret(band):
+    _, idx, vals = _batched(1)
+    out = np.asarray(banded_scatter_add_pallas(jnp.asarray(vals),
+                                               jnp.asarray(idx),
+                                               band, interpret=True))
+    for b in range(B):
+        ref = np.zeros((N, C), np.float32)
+        np.add.at(ref, idx[b].reshape(-1), vals[b].reshape(-1, C))
+        np.testing.assert_allclose(out[b], ref, atol=1e-4)
+
+
+def test_pallas_matches_jnp_path():
+    v, idx, vals = _batched(7)
+    gp = np.asarray(banded_gather_pallas(jnp.asarray(v), jnp.asarray(idx),
+                                         128, interpret=True))
+    gj = np.stack([np.asarray(banded_gather(jnp.asarray(v[b]),
+                                            jnp.asarray(idx[b]), 128))
+                   for b in range(B)])
+    np.testing.assert_array_equal(gp, gj)
