@@ -172,15 +172,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="Restore pretrained model parameters (works here, unlike the reference)")
     adg("--data_axis", type=int, default=1, help="Mesh size along data-parallel axis")
     adg("--particle_axis", type=int, default=1, help="Mesh size along particle axis")
+    adg("--platform", type=str, default="auto", choices=["auto", "cpu", "tpu"],
+        help="Force a JAX platform (this machine's site config pins 'axon'; "
+             "env vars alone cannot override it)")
     return p
+
+
+def apply_platform(platform: str):
+    """Force the JAX platform before any computation. Must run before the
+    first jax op; env vars are insufficient on hosts whose site customization
+    pins a platform (see tests/conftest.py)."""
+    if platform and platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", platform)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
     family = args.model
     if family is None:
         family = "set" if args.kneighbors == -1 else "shiftinv"
+    data_dir = args.data_dir or default_data_dir()
+    if args.synthetic:
+        data_dir = os.path.join(os.path.sep, "nonexistent-force-synthetic")
     data = DataConfig(
-        data_dir=args.data_dir or default_data_dir(),
+        data_dir=data_dir,
         data_idx=args.data_idx,
         num_test=args.num_test,
         cells_per_side=args.cells)

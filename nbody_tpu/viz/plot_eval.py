@@ -1,0 +1,134 @@
+"""Offline evaluation histograms vs the linear-velocity baseline.
+
+Reference twin: visualization/plot_eval.py (C21 in SURVEY.md §2) — loads
+result cubes saved by the trainer, strips a boundary shell, builds the
+least-squares linear-velocity baseline, and plots L2-distance histograms
+with median markers, single and multi-model layouts.
+
+Host-side only (numpy + matplotlib); consumes the np.save artifacts written
+by io_.Saver in the reference's layout, so it works on either framework's
+outputs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# 20 redshift snapshots, z = 9.0 -> 0.0 (reference plot_eval.py:19-21)
+from nbody_tpu.config import REDSHIFTS  # noqa: F401
+
+CUBE_FNAME = "X_{}-{}_{}"  # zx-zy pair naming (reference plot_eval.py:16)
+
+
+def load_cube(path: str) -> np.ndarray:
+    return np.load(path)
+
+
+def get_mask(x: np.ndarray, boundary: float = 0.1) -> np.ndarray:
+    """Mask particles inside the inner cube, away from the boundary shell
+    (reference plot_eval.py:48-56).  x (..., N, 3) coords in [0, 1]."""
+    lower, upper = boundary, 1.0 - boundary
+    return np.all((x >= lower) & (x <= upper), axis=-1)
+
+
+def calculate_timestep(x_in: np.ndarray, x_true: np.ndarray) -> float:
+    """Least-squares timestep fit t: ||vel*t - dpos|| min
+    (reference plot_eval.py:85-88)."""
+    diff = (x_true[..., :3] - x_in[..., :3]).reshape(-1)
+    vel = x_in[..., 3:].reshape(-1, 1)
+    t, *_ = np.linalg.lstsq(vel, diff, rcond=None)
+    return float(t[0])
+
+
+def get_linear_vel_pred(x_in: np.ndarray, timestep: float) -> np.ndarray:
+    """pos + t*vel (reference plot_eval.py:90-93)."""
+    return x_in[..., :3] + timestep * x_in[..., 3:]
+
+
+def l2_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.sqrt(np.sum(np.square(a - b), axis=-1))
+
+
+def plot_hist_ax(ax, dists: Sequence[np.ndarray], labels: Sequence[str],
+                 colors: Optional[Sequence[str]] = None, bins: int = 200):
+    """Overlaid L2-distance histograms with median markers
+    (reference plot_hist_ax, plot_eval.py:130-147)."""
+    colors = colors or [f"C{i}" for i in range(len(dists))]
+    for d, lab, col in zip(dists, labels, colors):
+        d = d.reshape(-1)
+        med = float(np.median(d))
+        ax.hist(d, bins=bins, alpha=0.55, color=col,
+                label=f"{lab} (median {med:.5f})")
+        ax.axvline(med, color=col, linestyle="--", linewidth=1)
+    ax.legend()
+    ax.set_xlabel("L2 distance")
+    ax.set_ylabel("count")
+
+
+def plot_model_vs_linear(truth: np.ndarray, pred: np.ndarray,
+                         x_input: Optional[np.ndarray] = None,
+                         boundary: Optional[float] = None,
+                         title: str = "", save_path: Optional[str] = None):
+    """Single-model comparison figure (reference plot_side_by_side_singles,
+    plot_eval.py:180-207).  truth/pred (S, N, 3); x_input (S, N, 6) enables
+    the linear-velocity baseline curve."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if boundary is not None:
+        mask = get_mask(truth, boundary)
+    else:
+        mask = np.ones(truth.shape[:-1], bool)
+
+    dists = [l2_dist(pred, truth)[mask]]
+    labels = ["model"]
+    if x_input is not None:
+        t = calculate_timestep(x_input, np.concatenate(
+            [truth, x_input[..., 3:]], axis=-1))
+        lin = get_linear_vel_pred(x_input, t)
+        dists.insert(0, l2_dist(lin, truth)[mask])
+        labels.insert(0, "linear velocity")
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    plot_hist_ax(ax, dists, labels)
+    ax.set_title(title)
+    if save_path:
+        save_plot(fig, save_path)
+    return fig
+
+
+def plot_multi_model(truths: Sequence[np.ndarray], preds: Sequence[np.ndarray],
+                     names: Sequence[str], save_path: Optional[str] = None):
+    """Multi-model / multi-redshift-pair layout (reference
+    plot_multiStep_comp, plot_eval.py:210-246)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(preds)
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 5), squeeze=False)
+    for ax, truth, pred, name in zip(axes[0], truths, preds, names):
+        plot_hist_ax(ax, [l2_dist(pred, truth)], [name])
+        ax.set_title(name)
+    if save_path:
+        save_plot(fig, save_path)
+    return fig
+
+
+def save_plot(fig, path: str, dpi: int = 700):
+    """PNG save at the reference's dpi (plot_eval.py:37-42)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+
+
+def plot_results_dir(results_dir: str, cube_stem: str,
+                     save_path: Optional[str] = None):
+    """Plot straight from a Saver Results/ directory: loads the
+    (2, S, N, out) prediction cube (slot 0 truth, slot 1 prediction)."""
+    cube = np.load(os.path.join(results_dir, f"{cube_stem}_prediction.npy"))
+    return plot_model_vs_linear(cube[0][..., :3], cube[1][..., :3],
+                                title=cube_stem, save_path=save_path)

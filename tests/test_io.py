@@ -1,0 +1,110 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from nbody_tpu import config as C
+from nbody_tpu.io_.checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from nbody_tpu.io_.saver import Saver, random_model_tag
+from nbody_tpu.models.registry import build_model
+from nbody_tpu.train.trainer import TrainState, init_train_state, make_train_step
+from nbody_tpu.data.synthetic import synthetic_raw_cubes
+from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+
+def _state():
+    model = build_model(C.ModelConfig(family="set", channels=(6, 8, 3), seed=7),
+                        box=32.0)
+    opt = optax.adam(1e-3)
+    return model, opt, init_train_state(model, opt, seed=7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, opt, state = _state()
+    save_checkpoint(str(tmp_path), state, 10)
+    save_checkpoint(str(tmp_path), state, 20)
+    assert latest_step(str(tmp_path)) == 20
+    restored = restore_checkpoint(str(tmp_path), state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_resumes_training_identically(tmp_path):
+    """The reference's NotImplementedError gap (utils.py:481-482), closed."""
+    model, opt, state = _state()
+    step_fn = make_train_step(model, opt)
+    raw = synthetic_raw_cubes(num_samples=2, cells=8, seed=0)
+    x_in, y = split_batch(jnp.asarray(features_from_raw(raw)))
+
+    state, _ = step_fn(state, x_in, y)
+    save_checkpoint(str(tmp_path), state, 1)
+
+    # branch A: continue in memory
+    state_a, loss_a = step_fn(state, x_in, y)
+    # branch B: restore from disk, then continue
+    _, _, template = _state()
+    template, _ = step_fn(template, x_in, y)  # shape-compatible template
+    restored = restore_checkpoint(str(tmp_path), template, step=1)
+    state_b, loss_b = step_fn(restored, x_in, y)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_step_none(tmp_path):
+    assert latest_step(str(tmp_path / "nope")) is None
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path / "nope"), like=None)
+
+
+def test_saver_layout_and_artifacts(tmp_path):
+    saver = Saver(2, model_tag="foo", experiments_dir=str(tmp_path))
+    assert saver.name == "ZA-FPM_2_foo"
+    assert saver.cube == "X_2"
+    assert os.path.isdir(saver.results) and os.path.isdir(saver.params)
+
+    err = np.arange(5, dtype=np.float32)
+    p = saver.save_error(err)
+    np.testing.assert_array_equal(np.load(p), err)
+    assert p.endswith("error_test.npy")
+
+    cube = np.zeros((2, 4, 64, 3), np.float32)
+    p2 = saver.save_cube(cube)
+    assert p2.endswith("X_2_prediction.npy")
+
+    saver.append_metrics({"step": 1, "loss": 0.5})
+    saver.append_metrics({"step": 2, "loss": 0.4})
+    lines = open(os.path.join(os.path.dirname(saver.results),
+                              "metrics.jsonl")).read().strip().split("\n")
+    assert len(lines) == 2
+
+
+def test_random_model_tag_format():
+    import random
+    tag = random_model_tag(random.Random(0))
+    parts = tag.split("-")
+    assert len(parts) == 3
+    assert all(p in C.MODEL_TAGLIST for p in parts)
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    from nbody_tpu.cli import train as cli_train
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_train.main([
+        "-i", "6", "-b", "2", "-t", "2", "-n", "clitest", "--synthetic",
+        "--cells", "8", "-c", "6", "8", "3", "-l", "0.003", "--model", "set"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MODEL NAMED: ZA-FPM_0_clitest" in out
+    assert "Test Error" in out
+    results = tmp_path / "exp" / "ZA-FPM_0_clitest" / "Results"
+    assert (results / "error_test.npy").exists()
+    assert (results / "X_0_prediction.npy").exists()
+    cube = np.load(results / "X_0_prediction.npy")
+    assert cube.shape == (2, 2, 512, 3)

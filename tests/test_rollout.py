@@ -1,0 +1,63 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu import config as C
+from nbody_tpu.models.registry import build_model
+from nbody_tpu.train.rollout import make_rollout, rollout_mse, stack_params
+
+
+def _setup(family="set", channels=(6, 16, 3), steps=4):
+    model = build_model(C.ModelConfig(family=family, channels=channels,
+                                      k_neighbors=4, seed=0), box=32.0)
+    params = [model.init(jax.random.PRNGKey(s)) for s in range(steps)]
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-16, 16, (2, 64, 3)).astype(np.float32)
+    disp = 0.1 * rng.normal(size=(2, 64, 3)).astype(np.float32)
+    x0 = jnp.asarray(np.concatenate([q, disp], -1))
+    return model, stack_params(params), params, x0
+
+
+def test_rollout_shapes():
+    model, stacked, _, x0 = _setup()
+    final, traj = make_rollout(model)(stacked, x0)
+    assert final.shape == (2, 64, 3)
+    assert traj.shape == (4, 2, 64, 3)
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final))
+
+
+def test_one_step_rollout_equals_single_apply():
+    model, _, params, x0 = _setup(steps=1)
+    final, _ = make_rollout(model)(stack_params(params[:1]), x0)
+    expect = x0[..., 3:6] + model.apply(params[0], x0)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rollout_chains_displacements():
+    model, stacked, params, x0 = _setup(steps=3)
+    _, traj = make_rollout(model)(stacked, x0)
+    # manual chain
+    q = x0[..., :3]
+    disp = x0[..., 3:6]
+    for t in range(3):
+        disp = disp + model.apply(
+            jax.tree_util.tree_map(lambda x: x[t], stacked),
+            jnp.concatenate([q, disp], -1))
+        np.testing.assert_allclose(np.asarray(traj[t]), np.asarray(disp),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rollout_mse_zero_on_self():
+    model, stacked, _, x0 = _setup(steps=3)
+    _, traj = make_rollout(model)(stacked, x0)
+    mse = rollout_mse(model, stacked, x0, traj)
+    assert mse.shape == (3,)
+    np.testing.assert_allclose(np.asarray(mse), 0.0, atol=1e-8)
+
+
+def test_rollout_graph_model():
+    model, stacked, _, x0 = _setup(family="shiftinv", channels=(3, 8, 3),
+                                   steps=2)
+    final, traj = make_rollout(model)(stacked, x0)
+    assert final.shape == (2, 64, 3) and bool(jnp.all(jnp.isfinite(final)))
