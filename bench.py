@@ -72,15 +72,18 @@ def measure_tpu_graph_step() -> float:
 
     batches = [split_batch(jnp.asarray(x[i * BATCH:(i + 1) * BATCH]))
                for i in range(2)]
-    times = []
-    for i in range(WARMUP + ITERS):
-        x_in, y = batches[i % 2]
-        t0 = time.perf_counter()
-        state, loss = step(state, x_in, y)
-        jax.block_until_ready(loss)
-        if i >= WARMUP:
-            times.append(time.perf_counter() - t0)
-    sec = float(np.median(times))
+    # NB: jax.block_until_ready does not reliably block on this tunneled
+    # platform (measured) — only a device->host fetch is a true barrier.
+    # So: chain WARMUP steps, fetch; chain ITERS steps, fetch; wall-clock
+    # over the whole chain.
+    for i in range(WARMUP):
+        state, loss = step(state, *batches[i % 2])
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, loss = step(state, *batches[i % 2])
+    float(loss)  # host fetch = true barrier
+    sec = (time.perf_counter() - t0) / ITERS
     return BATCH * n / sec
 
 

@@ -88,7 +88,8 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
             pos, za = _graph_geometry(x_in, box)
             idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
             return shiftinv15.shiftinv15_model(
-                params, pos.astype(dtype), za.astype(dtype), idx, box)
+                params, pos.astype(dtype), za.astype(dtype), idx, box,
+                band=band)
 
         return Model(init, apply, "shiftinv15")
 

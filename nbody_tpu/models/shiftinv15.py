@@ -7,37 +7,247 @@ Basis: the 15 linear equivariant operators on edge-valued functions of a
 graph (openreview Syx72jC9tm), cited at reference graph.py:24.
 
 The reference operates on a *symmetrized* adjacency whose nonzero count S
-varies per sample (graph.py:28-37) — dynamic shapes, anathema to XLA.  The
-adj-dict builder (row/col/all/tra/dia/dal index vectors) moreover does not
-exist anywhere in the reference repo; the 15-op path was never runnable.
-TPU-native rework with fully static shapes:
+varies per sample (graph.py:28-37) — dynamic shapes, anathema to XLA — and
+its adj-dict index builder does not exist anywhere in the repo (the 15-op
+path was never runnable).  TPU-native rework, fully static:
 
-  * Static edge capacity E = 2*N*K per sample:
-      block A (slots 0..NK-1):   directed kNN edges (n -> idx[n,k]);
-      block B (slots NK..2NK-1): reversed edges (idx[n,k] -> n), with a
-      validity mask that disables slots whose reverse already exists in
-      block A — the masked union IS the symmetrized adjacency.
-  * The transpose operator becomes a precomputed gather permutation `tra`;
-    the diagonal lives at slots n*K (self-neighbor guaranteed at slot 0 by
-    ops.knn).  Pools are mask-weighted segment means; "pool all"/"pool
-    diagonal" are masked global means.
+  Block-structured symmetrized graph (2, N, K) edge slots per sample:
+    block A: the directed kNN edges (n -> idx[n,k]);
+    block B: the reversed edges (idx[n,k] -> n), masked where the reverse
+             already exists in block A.  The masked union IS the
+             symmetrized adjacency.
 
-Everything is (vmapped) dense gathers, scatters and MXU matmuls.
+  In this layout most of the 15 operators are FREE reshapes/means
+  (row pools over block A, diag extract/scatter via the guaranteed
+  self-at-slot-0, global/diag pools), and the rest reduce to the banded
+  MXU gather/scatter of ops/banded.py (XLA's native gather is pathologically
+  slow on this TPU).  The transpose operator becomes one banded gather of
+  K-wide rows plus a K-one-hot contraction.
+
+`flat/` variants (build_sym_graph_flat, shift_inv_15op_layer_flat) keep the
+original edge-list formulation as the reference oracle for tests.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from nbody_tpu.models.base import init_network_params
+from nbody_tpu.ops.banded import neighbor_gather, neighbor_scatter_add
 from nbody_tpu.physics.pbc import min_image_diff
 
 
+def init_shiftinv15_params(key: jax.Array, channels: Sequence[int],
+                           dtype=jnp.float32):
+    """Per layer: W (15, k_in, k_out), B (2, k_out): [diag bias, global bias]
+    (reference graph.py:125-128, utils.py:179-180)."""
+    return init_network_params(key, channels, num_weights=15, num_biases=2,
+                               dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Block-structured symmetrized graph
+# ---------------------------------------------------------------------------
+
+class BlockSymGraph(NamedTuple):
+    """Batched block-structured symmetrized kNN graph (leading batch dim)."""
+    idx: jnp.ndarray         # (b, N, K) neighbor ids, self at slot 0
+    rev_pos: jnp.ndarray     # (b, N, K) j with idx[c, j] == n (if it exists)
+    mask_b: jnp.ndarray      # (b, N, K) 1 where the reversed edge is live
+    deg: jnp.ndarray         # (b, N) symmetrized degree of each particle
+
+
+def build_block_sym_graph(idx: jnp.ndarray,
+                          band: Optional[int] = None) -> BlockSymGraph:
+    """idx (b, N, K) with self at slot 0 -> BlockSymGraph."""
+    b, n, k = idx.shape
+    particles = jnp.arange(n, dtype=jnp.int32)
+    # nbr_nbrs[b,n,k,j] = idx[b, idx[b,n,k], j], via the banded MXU gather
+    # (rows of idx are K ints; gather them as a K-channel field)
+    nbr_nbrs = neighbor_gather(idx.astype(jnp.float32), idx, band)
+    nbr_nbrs = jnp.round(nbr_nbrs).astype(jnp.int32)          # (b, N, K, K)
+    hit = nbr_nbrs == particles[None, :, None, None]
+    rev_exists = jnp.any(hit, axis=-1)
+    rev_pos = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    mask_b = (~rev_exists).astype(jnp.float32)
+    # symmetrized degree: K (block A) + live block-B edges pointing at n
+    cnt_b = neighbor_scatter_add(mask_b[..., None], idx, band)[..., 0]
+    deg = cnt_b + jnp.float32(k)
+    return BlockSymGraph(idx=idx.astype(jnp.int32), rev_pos=rev_pos,
+                         mask_b=mask_b, deg=deg)
+
+
+def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
+                           za_disp: jnp.ndarray, box: float,
+                           band: Optional[int] = None) -> jnp.ndarray:
+    """(b, N, 3) pos -> (b, 2, N, K, 3) block edge features.
+
+    Block A: min-image relative positions with ZA displacement on the
+    self-edge (reference graph.py:289-343); block B: negated relative
+    positions (the reversed edge's feature), masked.
+    """
+    nbr = neighbor_gather(pos, graph.idx, band)
+    edges = min_image_diff(nbr, pos[:, :, None, :], box)
+    ea = edges.at[:, :, 0, :].set(za_disp)
+    eb = (-edges) * graph.mask_b[..., None]
+    return jnp.stack([ea, eb], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# The 15 operators in block form
+# ---------------------------------------------------------------------------
+
+def _col_pool(h: jnp.ndarray, g: BlockSymGraph, band) -> jnp.ndarray:
+    """Mean over edges grouped by COLUMN id -> (b, N, C).
+
+    Block A cols are idx (banded scatter); block B cols are the row n
+    itself (a free masked sum over K)."""
+    sums = neighbor_scatter_add(h[:, 0], g.idx, band)
+    sums += jnp.sum(h[:, 1] * g.mask_b[..., None], axis=2)
+    return sums / g.deg[..., None]
+
+
+def _row_pool(h: jnp.ndarray, g: BlockSymGraph, band) -> jnp.ndarray:
+    """Mean over edges grouped by ROW id -> (b, N, C).
+
+    Block A rows are n (free sum over K); block B rows are idx (banded
+    scatter of the masked values)."""
+    sums = jnp.sum(h[:, 0], axis=2)
+    sums += neighbor_scatter_add(h[:, 1] * g.mask_b[..., None], g.idx, band)
+    return sums / g.deg[..., None]
+
+
+def _bcast_col(x: jnp.ndarray, g: BlockSymGraph, band) -> jnp.ndarray:
+    """Node field (b, N, C) -> edge field by column id (b, 2, N, K, C)."""
+    a = neighbor_gather(x, g.idx, band)
+    b_ = jnp.broadcast_to(x[:, :, None, :], a.shape)
+    return jnp.stack([a, b_], axis=1)
+
+
+def _bcast_row(x: jnp.ndarray, g: BlockSymGraph, band) -> jnp.ndarray:
+    """Node field (b, N, C) -> edge field by row id (b, 2, N, K, C)."""
+    b_ = neighbor_gather(x, g.idx, band)
+    a = jnp.broadcast_to(x[:, :, None, :], b_.shape)
+    return jnp.stack([a, b_], axis=1)
+
+
+def _transpose(h: jnp.ndarray, g: BlockSymGraph, band) -> jnp.ndarray:
+    """Edge transpose: value at (c, r) for each slot (r, c).
+
+    A-slot (n, k): the reverse edge is either A-slot (c, rev_pos) — fetched
+    as a banded gather of K-wide rows then a K-one-hot contraction — or the
+    masked B mirror (n, k).  B-slot transpose is its A mirror."""
+    bsz, _, n, k, c = h.shape
+    ha = h[:, 0]
+    rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band)
+    rows_wide = rows_wide.reshape(bsz, n, k, k, c)   # [., n, k, j, .] = ha[idx[n,k], j]
+    sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)          # (b, N, K, K)
+    from_a = jnp.einsum("bnkjc,bnkj->bnkc", rows_wide, sel,
+                        preferred_element_type=h.dtype)
+    rev_exists = (1.0 - g.mask_b)[..., None]
+    ta = from_a * rev_exists + h[:, 1] * g.mask_b[..., None]
+    tb = ha * g.mask_b[..., None]
+    return jnp.stack([ta, tb], axis=1)
+
+
+def _at_dia(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Node field (b, N, C) scattered onto the diagonal (self) slots."""
+    out = jnp.zeros(like.shape[:-1] + (x.shape[-1],), x.dtype)
+    return out.at[:, 0, :, 0, :].set(x)
+
+
+def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
+                         layer_params: Dict[str, jnp.ndarray],
+                         is_last: bool = False,
+                         band: Optional[int] = None) -> jnp.ndarray:
+    """One 15-op layer. h (b, 2, N, K, C) masked block edge features.
+
+    Returns (b, 2, N, K, q), or (b, N, q) if is_last (pooled over rows,
+    reference graph.py:197-198).
+    """
+    w = layer_params["W"]        # (15, C, q)
+    bias = layer_params["B"]     # (2, q): [diag, global]
+    dt = h.dtype
+    g = graph
+
+    def mm(x, wi):
+        return jnp.einsum("...c,cq->...q", x, wi, preferred_element_type=dt)
+
+    h_d = h[:, 0, :, 0, :]                       # (b, N, C) diagonal
+    h_r = _col_pool(h, g, band)                  # pool rows  (by col)
+    h_c = _row_pool(h, g, band)                  # pool cols  (by row)
+    live = jnp.sum(g.deg, axis=-1)               # total live edges per sample
+    h_a = (jnp.sum(h[:, 0], axis=(1, 2))
+           + jnp.sum(h[:, 1] * g.mask_b[..., None], axis=(1, 2))) / live[:, None]
+    h_p = jnp.mean(h_d, axis=1)                  # pool diagonal (b, C)
+
+    n = h.shape[2]
+    out = mm(h, w[0])                                            # 1 identity
+    out += mm(_transpose(h, g, band), w[1])                      # 2 transpose
+    out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
+    out += _bcast_col(mm(h_r, w[3]), g, band)                    # 4 rows->rows
+    out += _bcast_row(mm(h_r, w[4]), g, band)                    # 5 rows->cols
+    out += _at_dia(mm(h_r, w[5]), h)                             # 6 rows->diag
+    out += _bcast_row(mm(h_c, w[6]), g, band)                    # 7 cols->cols
+    out += _bcast_col(mm(h_c, w[7]), g, band)                    # 8 cols->rows
+    out += _at_dia(mm(h_c, w[8]), h)                             # 9 cols->diag
+    out += mm(h_a, w[9])[:, None, None, None, :]                 # 10 all->all
+    out += _at_dia(jnp.broadcast_to(mm(h_a, w[10])[:, None, :],
+                                    (h.shape[0], n, w.shape[-1])), h)  # 11
+    out += mm(h_p, w[11])[:, None, None, None, :]                # 12 diag->all
+    out += _at_dia(jnp.broadcast_to(mm(h_p, w[12])[:, None, :],
+                                    (h.shape[0], n, w.shape[-1])), h)  # 13
+    out += _bcast_col(mm(h_d, w[13]), g, band)                   # 14 diag->rows
+    out += _bcast_row(mm(h_d, w[14]), g, band)                   # 15 diag->cols
+    out += _at_dia(jnp.broadcast_to(bias[0], (h.shape[0], n, bias.shape[-1])), h)
+    out += bias[1]
+
+    mask = jnp.stack([jnp.ones_like(g.mask_b), g.mask_b], axis=1)[..., None]
+    out = out * mask
+    if is_last:
+        return _row_pool(out, g, band)
+    return out
+
+
+def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
+                       graph: BlockSymGraph, activation=jax.nn.relu,
+                       band: Optional[int] = None) -> jnp.ndarray:
+    """Layer stack (reference network_func_15op_shift_inv_za)."""
+    h = edges
+    num_layers = len(params)
+    for i, layer_params in enumerate(params):
+        is_last = i == num_layers - 1
+        h = shift_inv_15op_layer(h, graph, layer_params, is_last=is_last,
+                                 band=band)
+        if not is_last:
+            h = activation(h)
+    return h
+
+
+def shiftinv15_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
+                     idx: jnp.ndarray, box: float,
+                     activation=jax.nn.relu,
+                     band: Optional[int] = None) -> jnp.ndarray:
+    """Full model: symmetrized graph + features + network.
+
+    pos (b, N, 3), za_disp (b, N, 3), idx (b, N, K) with self at slot 0.
+    """
+    graph = build_block_sym_graph(idx, band)
+    feats = block_edge_features_za(pos, graph, za_disp, box, band)
+    return shiftinv15_network(params, feats.astype(pos.dtype), graph,
+                              activation, band)
+
+
+# ---------------------------------------------------------------------------
+# Flat edge-list formulation — the validated reference oracle (kept for
+# tests; operationally superseded by the block form above).
+# ---------------------------------------------------------------------------
+
 class SymGraph(NamedTuple):
-    """Static-capacity symmetrized graph, per sample (leading batch dim ok)."""
+    """Static-capacity symmetrized graph, flat edge list, per sample."""
     row: jnp.ndarray     # (E,) int32 row (particle) id of each edge slot
     col: jnp.ndarray     # (E,) int32 col (neighbor) id
     tra: jnp.ndarray     # (E,) int32 slot index of the transposed edge
@@ -46,17 +256,16 @@ class SymGraph(NamedTuple):
 
 
 def build_sym_graph(idx: jnp.ndarray) -> SymGraph:
-    """idx (N, K) neighbor ids with idx[:, 0] == self -> SymGraph with E = 2NK."""
+    """idx (N, K) neighbor ids with idx[:, 0] == self -> SymGraph, E = 2NK."""
     n, k = idx.shape
     nk = n * k
     particles = jnp.arange(n, dtype=jnp.int32)
-    row_a = jnp.repeat(particles, k)                      # (NK,)
-    col_a = idx.reshape(-1).astype(jnp.int32)             # (NK,)
+    row_a = jnp.repeat(particles, k)
+    col_a = idx.reshape(-1).astype(jnp.int32)
 
-    # does the reverse edge (idx[n,k] -> n) already exist in block A?
     nbr_nbrs = idx[idx]                                   # (N, K, K)
-    hit = nbr_nbrs == particles[:, None, None]            # (N, K, K)
-    rev_exists = jnp.any(hit, axis=2).reshape(-1)         # (NK,)
+    hit = nbr_nbrs == particles[:, None, None]
+    rev_exists = jnp.any(hit, axis=2).reshape(-1)
     rev_pos = jnp.argmax(hit, axis=2).reshape(-1).astype(jnp.int32)
 
     slots_a = jnp.arange(nk, dtype=jnp.int32)
@@ -74,38 +283,25 @@ def build_sym_graph(idx: jnp.ndarray) -> SymGraph:
 
 def sym_edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray, za_disp: jnp.ndarray,
                          box: float) -> jnp.ndarray:
-    """(N, 3) pos -> (E, 3) edge features on the symmetrized graph.
-
-    Block A: min-image relative positions, ZA displacement on the self-edge
-    (reference graph.py:289-343 semantics); block B: the negated relative
-    positions (feature of the reversed edge).
-    """
-    nbr = pos[idx]                                        # (N, K, 3)
-    edges = min_image_diff(nbr, pos[:, None, :], box)     # (N, K, 3)
+    """(N, 3) pos -> (E, 3) flat edge features (oracle twin of
+    block_edge_features_za)."""
+    nbr = pos[idx]
+    edges = min_image_diff(nbr, pos[:, None, :], box)
     edges_a = edges.at[:, 0, :].set(za_disp)
     edges_b = (-edges).at[:, 0, :].set(jnp.zeros_like(za_disp))
     return jnp.concatenate([edges_a.reshape(-1, 3), edges_b.reshape(-1, 3)])
 
 
-def init_shiftinv15_params(key: jax.Array, channels: Sequence[int],
-                           dtype=jnp.float32):
-    """Per layer: W (15, k_in, k_out), B (2, k_out): [diag bias, global bias]
-    (reference graph.py:125-128, utils.py:179-180)."""
-    return init_network_params(key, channels, num_weights=15, num_biases=2,
-                               dtype=dtype)
-
-
 def _seg_mean(h: jnp.ndarray, ids: jnp.ndarray, w: jnp.ndarray,
               num: int) -> jnp.ndarray:
-    """Mask-weighted segment mean: (E, C) grouped by ids (E,) -> (num, C)."""
     sums = jnp.zeros((num, h.shape[-1]), h.dtype).at[ids].add(h * w[:, None])
     cnt = jnp.zeros((num,), h.dtype).at[ids].add(w)
     return sums / jnp.maximum(cnt, 1.0)[:, None]
 
 
-def _shift_inv_15op_single(h: jnp.ndarray, g: SymGraph, w: jnp.ndarray,
-                           b: jnp.ndarray, n: int, is_last: bool) -> jnp.ndarray:
-    """One sample. h (E, C) masked edge features -> (E, q) or (N, q)."""
+def _shift_inv_15op_flat_single(h: jnp.ndarray, g: SymGraph, w: jnp.ndarray,
+                                b: jnp.ndarray, n: int,
+                                is_last: bool) -> jnp.ndarray:
     dt = h.dtype
     e = h.shape[0]
     q = w.shape[-1]
@@ -113,70 +309,43 @@ def _shift_inv_15op_single(h: jnp.ndarray, g: SymGraph, w: jnp.ndarray,
     def mm(x, wi):
         return jnp.dot(x, wi, preferred_element_type=dt)
 
-    def at_dia(vals):   # (N, q) -> scattered (E, q) on the diagonal slots
+    def at_dia(vals):
         return jnp.zeros((e, q), dt).at[g.dia].set(vals)
 
-    h_d = h[g.dia]                                   # (N, C) diagonal
-    h_r = _seg_mean(h, g.col, g.valid, n)            # pool rows   (N, C)
-    h_c = _seg_mean(h, g.row, g.valid, n)            # pool cols   (N, C)
+    h_d = h[g.dia]
+    h_r = _seg_mean(h, g.col, g.valid, n)
+    h_c = _seg_mean(h, g.row, g.valid, n)
     h_a = jnp.sum(h * g.valid[:, None], 0) / jnp.maximum(jnp.sum(g.valid), 1.0)
-    h_p = jnp.mean(h_d, axis=0)                      # pool diagonal (C,)
+    h_p = jnp.mean(h_d, axis=0)
 
-    out = mm(h, w[0])                                # 1  identity
-    out += mm(h[g.tra], w[1])                        # 2  transpose
-    out += at_dia(mm(h_d, w[2]))                     # 3  diag -> diag
-    out += mm(h_r, w[3])[g.col]                      # 4  pool rows -> rows
-    out += mm(h_r, w[4])[g.row]                      # 5  pool rows -> cols
-    out += at_dia(mm(h_r, w[5]))                     # 6  pool rows -> diag
-    out += mm(h_c, w[6])[g.row]                      # 7  pool cols -> cols
-    out += mm(h_c, w[7])[g.col]                      # 8  pool cols -> rows
-    out += at_dia(mm(h_c, w[8]))                     # 9  pool cols -> diag
-    out += mm(h_a[None], w[9])[0][None, :]           # 10 pool all -> all
-    out += at_dia(jnp.broadcast_to(mm(h_a[None], w[10])[0], (n, q)))  # 11
-    out += mm(h_p[None], w[11])[0][None, :]          # 12 pool diag -> all
-    out += at_dia(jnp.broadcast_to(mm(h_p[None], w[12])[0], (n, q)))  # 13
-    out += mm(h_d, w[13])[g.col]                     # 14 diag -> rows
-    out += mm(h_d, w[14])[g.row]                     # 15 diag -> cols
-    out += at_dia(jnp.broadcast_to(b[0], (n, q)))    # diagonal bias
-    out += b[1]                                      # global bias
+    out = mm(h, w[0])
+    out += mm(h[g.tra], w[1])
+    out += at_dia(mm(h_d, w[2]))
+    out += mm(h_r, w[3])[g.col]
+    out += mm(h_r, w[4])[g.row]
+    out += at_dia(mm(h_r, w[5]))
+    out += mm(h_c, w[6])[g.row]
+    out += mm(h_c, w[7])[g.col]
+    out += at_dia(mm(h_c, w[8]))
+    out += mm(h_a[None], w[9])[0][None, :]
+    out += at_dia(jnp.broadcast_to(mm(h_a[None], w[10])[0], (n, q)))
+    out += mm(h_p[None], w[11])[0][None, :]
+    out += at_dia(jnp.broadcast_to(mm(h_p[None], w[12])[0], (n, q)))
+    out += mm(h_d, w[13])[g.col]
+    out += mm(h_d, w[14])[g.row]
+    out += at_dia(jnp.broadcast_to(b[0], (n, q)))
+    out += b[1]
     out = out * g.valid[:, None]
     if is_last:
-        return _seg_mean(out, g.row, g.valid, n)     # (N, q)
+        return _seg_mean(out, g.row, g.valid, n)
     return out
 
 
-def shift_inv_15op_layer(h: jnp.ndarray, graph: SymGraph,
-                         layer_params: Dict[str, jnp.ndarray],
-                         is_last: bool = False) -> jnp.ndarray:
-    """Batched layer: h (b, E, C), graph leaves (b, ...) -> (b, E, q)/(b, N, q)."""
+def shift_inv_15op_layer_flat(h: jnp.ndarray, graph: SymGraph,
+                              layer_params: Dict[str, jnp.ndarray],
+                              is_last: bool = False) -> jnp.ndarray:
+    """Batched flat-layout layer (oracle). h (b, E, C), graph leaves (b, ...)."""
     n = graph.dia.shape[-1]
-    fn = lambda hh, gg: _shift_inv_15op_single(
+    fn = lambda hh, gg: _shift_inv_15op_flat_single(
         hh, gg, layer_params["W"], layer_params["B"], n, is_last)
     return jax.vmap(fn)(h, graph)
-
-
-def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
-                       graph: SymGraph, activation=jax.nn.relu) -> jnp.ndarray:
-    """Layer stack (reference network_func_15op_shift_inv_za)."""
-    h = edges
-    num_layers = len(params)
-    for i, layer_params in enumerate(params):
-        is_last = i == num_layers - 1
-        h = shift_inv_15op_layer(h, graph, layer_params, is_last=is_last)
-        if not is_last:
-            h = activation(h)
-    return h
-
-
-def shiftinv15_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
-                     idx: jnp.ndarray, box: float,
-                     activation=jax.nn.relu) -> jnp.ndarray:
-    """Full model: symmetrized graph + features + network.
-
-    pos (b, N, 3), za_disp (b, N, 3), idx (b, N, K) with self at slot 0.
-    """
-    graph = jax.vmap(build_sym_graph)(idx)
-    feats = jax.vmap(lambda p, i, z: sym_edge_features_za(p, i, z, box))(
-        pos, idx, za_disp)
-    feats = feats * graph.valid[..., None]
-    return shiftinv15_network(params, feats.astype(pos.dtype), graph, activation)

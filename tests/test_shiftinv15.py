@@ -4,7 +4,8 @@ import jax.numpy as jnp
 
 from nbody_tpu.models.shiftinv15 import (
     SymGraph, build_sym_graph, sym_edge_features_za, init_shiftinv15_params,
-    shift_inv_15op_layer, shiftinv15_model)
+    shift_inv_15op_layer_flat, shiftinv15_model,
+    build_block_sym_graph, block_edge_features_za, shift_inv_15op_layer)
 from nbody_tpu.ops.knn import knn_periodic
 
 N, K = 20, 4
@@ -138,7 +139,7 @@ def test_layer_matches_reference_coo_oracle():
                                    atol=1e-5)
 
     for is_last in (False, True):
-        ours = np.asarray(shift_inv_15op_layer(
+        ours = np.asarray(shift_inv_15op_layer_flat(
             jnp.asarray(feats)[None], jax.tree_util.tree_map(lambda x: x[None], g),
             p0, is_last=is_last))[0]
         oracle = _oracle_15op(oracle_feats, adj, w, b, is_last)
@@ -199,3 +200,58 @@ def test_gradients_flow():
     grads = jax.grad(loss)(params)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_block_layer_matches_flat_oracle():
+    """The block-structured (TPU-fast) layer is numerically identical to the
+    validated flat edge-list formulation, for both layer modes."""
+    box, pos, za, idx = _setup(6)
+    params = init_shiftinv15_params(jax.random.PRNGKey(4), CHANNELS)
+    p0 = params[0]
+
+    # flat path
+    g = build_sym_graph(jnp.asarray(idx))
+    feats = np.asarray(sym_edge_features_za(jnp.asarray(pos), jnp.asarray(idx),
+                                            jnp.asarray(za), box))
+    feats = feats * np.asarray(g.valid)[:, None]
+
+    # block path
+    gb = build_block_sym_graph(jnp.asarray(idx)[None])
+    fb = block_edge_features_za(jnp.asarray(pos)[None], gb,
+                                jnp.asarray(za)[None], box)
+
+    # input features agree: block A == flat[:NK], block B == flat[NK:]
+    nk = N * K
+    np.testing.assert_allclose(np.asarray(fb[0, 0]).reshape(nk, 3),
+                               feats[:nk], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fb[0, 1]).reshape(nk, 3),
+                               feats[nk:], atol=1e-5)
+
+    for is_last in (False, True):
+        flat = np.asarray(shift_inv_15op_layer_flat(
+            jnp.asarray(feats)[None],
+            jax.tree_util.tree_map(lambda x: x[None], g), p0,
+            is_last=is_last))[0]
+        block = np.asarray(shift_inv_15op_layer(fb, gb, p0, is_last=is_last))[0]
+        if is_last:
+            np.testing.assert_allclose(block, flat, rtol=1e-4, atol=1e-5)
+        else:
+            q = flat.shape[-1]
+            np.testing.assert_allclose(block[0].reshape(nk, q), flat[:nk],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(block[1].reshape(nk, q), flat[nk:],
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_block_graph_structure():
+    _, pos, _, idx = _setup(7)
+    gb = build_block_sym_graph(jnp.asarray(idx)[None])
+    g = build_sym_graph(jnp.asarray(idx))
+    # block-B mask matches the flat valid mask's second half
+    np.testing.assert_array_equal(np.asarray(gb.mask_b[0]).reshape(-1),
+                                  np.asarray(g.valid)[N * K:])
+    # degree equals the dense symmetrized degree
+    dense = np.zeros((N, N), bool)
+    dense[np.repeat(np.arange(N), K), idx.reshape(-1)] = True
+    sym = dense | dense.T
+    np.testing.assert_allclose(np.asarray(gb.deg[0]), sym.sum(1))
