@@ -109,6 +109,58 @@ class Dataset:
             yield p, x[p:p + batch_size]
 
 
+class StreamingDataset:
+    """Disk-backed dataset using the native mmap loader (data/native_loader).
+
+    The reference loads the whole (1000, 32, 32, 32, 19) file into RAM and
+    copies fancy-indexed minibatches per step (utils.py:559-621).  Here the
+    train split stays on disk: the native loader mmaps the file and
+    prefetches the NEXT minibatch's raw rows on a background thread while
+    the device runs the current step.  Val/test splits are small
+    (num_val + num_test samples) and are featurized once up front, so the
+    eval interface matches Dataset.
+    """
+
+    def __init__(self, path: str, cfg: Optional[C.DataConfig] = None):
+        from nbody_tpu.data.native_loader import NpyLoader, PrefetchingSampler
+        cfg = cfg or C.DataConfig()
+        self.cfg = cfg
+        self._loader = NpyLoader(path)
+        s = self._loader.shape[0]
+        self.cells = self._loader.shape[1]
+        self.box = 4.0 * self.cells
+        num_test = min(cfg.num_test, max(1, s - cfg.num_val - 2))
+        num_val = min(cfg.num_val, max(1, s - num_test - 1))
+        rs = np.random.RandomState(cfg.seed)
+        perm = rs.permutation(s)
+        self._train_idx = perm[:s - num_test - num_val]
+        val_idx = perm[s - num_test - num_val:s - num_test]
+        test_idx = perm[s - num_test:]
+        self.X_val = features_from_raw(self._loader.gather(val_idx))
+        self.X_test = features_from_raw(self._loader.gather(test_idx))
+        self._sampler = None
+        self._PrefetchingSampler = PrefetchingSampler
+
+    @property
+    def num_particles(self) -> int:
+        return self.cells ** 3
+
+    def get_minibatch(self, key: jax.Array, batch_size: int = C.BATCH_SIZE) -> np.ndarray:
+        """Next prefetched minibatch, featurized.  The key argument is kept
+        for interface parity; the native sampler owns the RNG stream (its
+        seed derives from the dataset seed)."""
+        if self._sampler is None or self._sampler.batch_size != batch_size:
+            self._sampler = self._PrefetchingSampler(
+                self._loader, self._train_idx, batch_size, seed=self.cfg.seed)
+        return features_from_raw(self._sampler.next())
+
+    def sequential_batches(self, split: str, batch_size: int):
+        x = {"val": self.X_val, "test": self.X_test}[split]
+        for j in range(x.shape[0] // batch_size):
+            p = batch_size * j
+            yield p, x[p:p + batch_size]
+
+
 def split_batch(batch: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(b, N, 9) -> inputs (b, N, 6) [q-64, za], target (b, N, 3) [fpm - za].
 
