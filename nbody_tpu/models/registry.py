@@ -72,7 +72,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
 
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
-                idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
+                idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=band)
@@ -86,7 +86,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
-            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k)
+            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=band)

@@ -55,16 +55,26 @@ def _chunk_topk(pos_chunk: jnp.ndarray, row_ids: jnp.ndarray, pos: jnp.ndarray,
     return idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "include_self", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "include_self", "row_chunk",
+                                              "band"))
 def knn_periodic(pos: jnp.ndarray, k: int, box: float = 1.0,
-                 include_self: bool = True, row_chunk: int = 512) -> jnp.ndarray:
+                 include_self: bool = True, row_chunk: int = 512,
+                 band: int = None) -> jnp.ndarray:
     """kNN under periodic boundaries. pos (N, 3) -> neighbor indices (N, k).
 
-    Exact (not approximate): every pair is examined, like the reference's
-    exact sklearn search on the ghost-padded cube (graph.py:877-894), but the
+    band=None: exact — every pair is examined, like the reference's exact
+    sklearn search on the ghost-padded cube (graph.py:877-894), but the
     min-image metric handles the wrap directly.
+
+    band=int: candidates are restricted to the circular index window
+    [n - band/2, n + band/2) around each row — exact for grid-ordered
+    particle cubes, where spatial neighbors are index neighbors (the same
+    structural fact ops/banded.py exploits).  Cost drops from O(N^2) to
+    O(N * band): ~4x fewer distances at 32^3, ~31x at 64^3.
     """
     n = pos.shape[0]
+    if band is not None and band < n and _banded_chunk(n, band) is not None:
+        return _knn_periodic_banded(pos, k, box, include_self, band)
     chunk = min(row_chunk, n)
     pad = (-n) % chunk
     pos_p = jnp.pad(pos, ((0, pad), (0, 0))) if pad else pos
@@ -83,9 +93,52 @@ def knn_periodic(pos: jnp.ndarray, k: int, box: float = 1.0,
     return idx[:n]
 
 
+def _banded_chunk(n: int, band: int):
+    """Largest row chunk with chunk + band <= n (so the circular slab never
+    repeats a candidate) that divides n; None if no banded layout exists."""
+    for c in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if c + band <= n and n % c == 0:
+            return c
+    return None
+
+
+def _knn_periodic_banded(pos: jnp.ndarray, k: int, box: float,
+                         include_self: bool, band: int) -> jnp.ndarray:
+    """Banded kNN: per row chunk, distances only against the circular slab
+    of `band + chunk` candidate columns around the chunk."""
+    n = pos.shape[0]
+    chunk = _banded_chunk(n, band)
+    half = band // 2
+    slab = chunk + 2 * half
+    num_chunks = n // chunk
+
+    # circular pad so slab for chunk t is pos_pad[t*chunk : t*chunk + slab]
+    pos_pad = jnp.concatenate([pos[-half:], pos, pos[:half]], axis=0)
+    row_ids = jnp.arange(n, dtype=jnp.int32).reshape(num_chunks, chunk)
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        ids, t0 = xs
+        rows = jax.lax.dynamic_slice(pos, (t0, 0), (chunk, 3))
+        cand = jax.lax.dynamic_slice(pos_pad, (t0, 0), (slab, 3))
+        d2 = pairwise_min_image_sq_dist(rows, cand, box)
+        local_self = jnp.arange(chunk, dtype=jnp.int32)[:, None] + half
+        lane = jnp.arange(slab, dtype=jnp.int32)[None, :]
+        is_self = lane == local_self
+        d2 = jnp.where(is_self, -1.0 if include_self else jnp.inf, d2)
+        _, local_idx = jax.lax.top_k(-d2, k)
+        # slab position -> global id: t0 - half + p (mod n)
+        return carry, jnp.mod(local_idx + (t0 - half), n).astype(jnp.int32)
+
+    _, idx = jax.lax.scan(body, None, (row_ids, starts))
+    return idx.reshape(n, k)
+
+
 def knn_periodic_batch(pos: jnp.ndarray, k: int, box: float = 1.0,
-                       include_self: bool = True, row_chunk: int = 512) -> jnp.ndarray:
+                       include_self: bool = True, row_chunk: int = 512,
+                       band: int = None) -> jnp.ndarray:
     """Batched kNN: pos (b, N, 3) -> (b, N, k)."""
     fn = functools.partial(knn_periodic, k=k, box=box,
-                           include_self=include_self, row_chunk=row_chunk)
+                           include_self=include_self, row_chunk=row_chunk,
+                           band=band)
     return jax.vmap(fn)(pos)

@@ -100,3 +100,32 @@ def test_knn_vs_sklearn_ghost_padding_semantics():
     ours = np.asarray(knn_periodic(jnp.asarray(pos.astype(np.float32)), k))
     for i in range(80):
         assert set(ours[i].tolist()) == sk_sets[i], f"particle {i}"
+
+
+def test_banded_knn_matches_exact_on_grid_cubes():
+    """On grid-ordered cubes (the real data layout) the banded search finds
+    the same neighbors as the exact O(N^2) search."""
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch, positions_from_inputs
+    raw = synthetic_raw_cubes(num_samples=2, cells=8, seed=11)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=32.0))
+    exact = np.asarray(knn_periodic_batch(pos, 8))
+    banded = np.asarray(knn_periodic_batch(pos, 8, band=256))
+    np.testing.assert_array_equal(np.sort(banded, -1), np.sort(exact, -1))
+    np.testing.assert_array_equal(banded[..., 0], exact[..., 0])  # self first
+
+
+def test_banded_knn_wraps_index_space():
+    # particles in index order around the seam: row 0's spatial neighbors
+    # include high-index particles; band window must wrap.  Jitter breaks
+    # distance ties (tie order may differ between search layouts).
+    n = 64
+    rng = np.random.default_rng(8)
+    t = (np.linspace(0, 1, n, endpoint=False)
+         + rng.uniform(-0.2, 0.2, n) / n) % 1.0
+    pos = np.stack([t, rng.uniform(0, .001, n), np.zeros(n)], -1).astype(np.float32)
+    exact = np.asarray(knn_periodic(jnp.asarray(pos), 4))
+    banded = np.asarray(knn_periodic(jnp.asarray(pos), 4, band=16))
+    np.testing.assert_array_equal(np.sort(banded, -1), np.sort(exact, -1))
+    assert n - 1 in banded[0].tolist()  # wrapped neighbor found
