@@ -45,6 +45,9 @@ CHANNELS = [6, 64, 128, 128, 256, 64, 128, 16, 3]   # reference utils.py:165
 # self-edge, reference graph.py:289-343); the reference kept graph nets
 # shallow for memory (utils.py:163 comment) — same spirit here.
 GRAPH_CHANNELS = [3, 32, 64, 64, 32, 16, 3]
+# velocity-aware graph model: 9-channel edge features (rel pos + node vels,
+# reference include_node_features graph.py:245-275), 6-channel residual out
+GRAPH_VEL_CHANNELS = [9, 32, 64, 64, 32, 16, 6]
 # Attention/residual model channel list (reference experiment.py:25)
 ATTN_CHANNELS = [6] + [16] * 22 + [3]
 NUM_NEIGHBORS = 14                            # reference utils.py:166
@@ -64,7 +67,7 @@ MODEL_TAGLIST = ["arae", "boot", "cari", "drac", "erid", "forn", "gemi",
                  "hyda", "indi", "lyra", "mensa", "norma", "orion", "pavo",
                  "reti", "scut", "taur", "ursa", "virgo"]
 
-MODEL_FAMILIES = ("set", "shiftinv", "shiftinv15", "attn")
+MODEL_FAMILIES = ("set", "shiftinv", "shiftinv15", "attn", "shiftinv_vel")
 
 
 def default_data_dir() -> str:
@@ -88,6 +91,8 @@ class DataConfig:
     num_val: int = NUM_VAL_SAMPLES
     seed: int = DATASET_SEED
     cells_per_side: int = CELLS_PER_SIDE
+    # joint position+velocity task (9 input channels, 6 target channels)
+    include_velocity: bool = False
     # synthetic fallback when no ZA_*.npy on disk (this environment has none)
     synthetic_num_samples: int = NUM_SAMPLES
 
@@ -166,6 +171,8 @@ def build_parser() -> argparse.ArgumentParser:
     adg("--data_dir", type=str, default=None, help="Directory with ZA_*.npy cubes")
     adg("--synthetic", action="store_true",
         help="Force synthetic data even if real cubes exist")
+    adg("--velocity", action="store_true",
+        help="Joint position+velocity task (9 input, 6 target channels)")
     adg("--cells", type=int, default=CELLS_PER_SIDE,
         help="Cube cells per side (particles = cells^3)")
     adg("-r", "--restore", action="store_true",
@@ -190,7 +197,10 @@ def apply_platform(platform: str):
 def config_from_args(args: argparse.Namespace) -> Config:
     family = args.model
     if family is None:
-        family = "set" if args.kneighbors == -1 else "shiftinv"
+        if args.velocity:
+            family = "shiftinv_vel"
+        else:
+            family = "set" if args.kneighbors == -1 else "shiftinv"
     data_dir = args.data_dir or default_data_dir()
     if args.synthetic:
         data_dir = os.path.join(os.path.sep, "nonexistent-force-synthetic")
@@ -198,7 +208,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         data_dir=data_dir,
         data_idx=args.data_idx,
         num_test=args.num_test,
-        cells_per_side=args.cells)
+        cells_per_side=args.cells,
+        include_velocity=args.velocity)
     model = ModelConfig(
         family=family,
         channels=tuple(args.channels),

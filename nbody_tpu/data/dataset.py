@@ -29,12 +29,17 @@ def load_cube_file(path: str) -> np.ndarray:
     return np.load(path)
 
 
-def features_from_raw(raw: np.ndarray) -> np.ndarray:
-    """Raw (S, C, C, C, 19) -> features (S, N, 9).
+def features_from_raw(raw: np.ndarray, include_velocity: bool = False) -> np.ndarray:
+    """Raw (S, C, C, C, 19) -> features.
 
-    Columns: [q - box/2 (3), za_disp (3), fpm_disp - za_disp (3)]
-    exactly as the reference assembles X (utils.py:606-619):
-    the target residual is fpm - za, and the grid is centered by -64.
+    Default (S, N, 9): [q - box/2 (3), za_disp (3), fpm_disp - za_disp (3)]
+    exactly as the reference assembles X (utils.py:606-619): the target
+    residual is fpm - za, and the grid is centered by -64.
+
+    include_velocity=True -> (S, N, 15): inputs [q - box/2, za_disp, za_vel]
+    (9) and targets [fpm_disp - za_disp, fpm_vel - za_vel] (6) — the joint
+    position+velocity task (BASELINE.json config 4; the reference sketched
+    velocity handling only in commented code, graph.py:517-567).
     """
     s, cx, cy, cz, _ = raw.shape
     assert cx == cy == cz, "cubes must be cubic"
@@ -44,7 +49,12 @@ def features_from_raw(raw: np.ndarray) -> np.ndarray:
     fpm = raw[..., C.COL_FPM_DISP].reshape(s, n, 3) - za
     q = grid_positions_np(cx, box=box)
     q_centered = np.broadcast_to(q[None] - box / 2.0, za.shape)
-    return np.concatenate([q_centered, za, fpm], axis=-1).astype(np.float32)
+    if not include_velocity:
+        return np.concatenate([q_centered, za, fpm], axis=-1).astype(np.float32)
+    za_vel = raw[..., C.COL_ZA_VEL].reshape(s, n, 3)
+    fpm_vel = raw[..., C.COL_FPM_VEL].reshape(s, n, 3) - za_vel
+    return np.concatenate([q_centered, za, za_vel, fpm, fpm_vel],
+                          axis=-1).astype(np.float32)
 
 
 def split_dataset(x: np.ndarray, num_test: int, num_val: int = C.NUM_VAL_SAMPLES,
@@ -76,7 +86,8 @@ class Dataset:
             raw = self._load_raw(cfg)
         self.cells = raw.shape[1]
         self.box = 4.0 * self.cells
-        x = features_from_raw(raw)
+        self.num_input_channels = 9 if cfg.include_velocity else 6
+        x = features_from_raw(raw, include_velocity=cfg.include_velocity)
         num_test = min(cfg.num_test, max(1, x.shape[0] - cfg.num_val - 2))
         num_val = min(cfg.num_val, max(1, x.shape[0] - num_test - 1))
         self.X_train, self.X_val, self.X_test = split_dataset(
@@ -161,12 +172,13 @@ class StreamingDataset:
             yield p, x[p:p + batch_size]
 
 
-def split_batch(batch: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(b, N, 9) -> inputs (b, N, 6) [q-64, za], target (b, N, 3) [fpm - za].
+def split_batch(batch: jnp.ndarray,
+                num_inputs: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(b, N, 9|15) -> inputs [q-64, za(, za_vel)], target residual(s).
 
-    Mirrors reference train.py:95-96.
+    Mirrors reference train.py:95-96; num_inputs=9 for the velocity task.
     """
-    return batch[..., :6], batch[..., 6:]
+    return batch[..., :num_inputs], batch[..., num_inputs:]
 
 
 def positions_from_inputs(x_in: jnp.ndarray, box: float) -> jnp.ndarray:

@@ -57,6 +57,26 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
 
         return Model(init, apply, "set")
 
+    if cfg.family == "shiftinv_vel":
+        from nbody_tpu.models import shiftinv
+        if channels[0] != 9:
+            channels = list(C.GRAPH_VEL_CHANNELS)
+        k = cfg.k_neighbors
+        band = _resolve_band(cfg, box)
+
+        def init(key):
+            return shiftinv.init_shiftinv_vel_params(key, channels, dtype)
+
+        def apply(params, x_in):
+            pos, za = _graph_geometry(x_in, box)
+            vel = x_in[..., 6:9]
+            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
+            return shiftinv.shiftinv_vel_model(
+                params, pos.astype(dtype), za.astype(dtype),
+                vel.astype(dtype), idx, box, band=band)
+
+        return Model(init, apply, "shiftinv_vel")
+
     if cfg.family in ("shiftinv", "shiftinv15"):
         if channels[0] != 3:
             channels = list(C.GRAPH_CHANNELS)

@@ -102,3 +102,38 @@ def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     """
     edges = edge_features_za(pos, idx, za_disp, box, band)
     return shiftinv_network(params, edges, idx, activation, band)
+
+
+def init_shiftinv_vel_params(key: jax.Array, channels: Sequence[int],
+                             dtype=jnp.float32):
+    """Velocity variant: 4-op layers + two learnable output scalars
+    (loc, vel), init 0.002 like the reference's unused scalar params
+    (utils.py:182, 308-318; the commented velocity model graph.py:517-567
+    consumed them as loc_scalar/vel_scalar)."""
+    from nbody_tpu import config as C
+    return {"layers": init_network_params(key, channels, num_weights=4,
+                                          num_biases=1, dtype=dtype),
+            "T": jnp.full((2,), C.SCALAR_INIT, dtype)}
+
+
+def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
+                       vel: jnp.ndarray, idx: jnp.ndarray, box: float,
+                       activation=jax.nn.relu,
+                       band: Optional[int] = None) -> jnp.ndarray:
+    """Velocity-aware graph model (the reference's commented
+    _model_func_shift_inv, graph.py:517-567, made real).
+
+    Edge features: [rel pos w/ ZA on the self-edge (3), vel at row (3),
+    vel at col (3)] (reference include_node_features, graph.py:245-275).
+    Output (b, N, 6): displacement and velocity residuals, each scaled by a
+    learnable scalar (loc_scalar, vel_scalar).
+    """
+    rel = edge_features_za(pos, idx, za_disp, box, band)              # (b,N,K,3)
+    vel_cols = neighbor_gather(vel, idx, band)
+    vel_rows = jnp.broadcast_to(vel[:, :, None, :], vel_cols.shape)
+    edges = jnp.concatenate([rel, vel_rows, vel_cols], axis=-1)       # (b,N,K,9)
+    net = shiftinv_network(params["layers"], edges, idx, activation, band)
+    t = params["T"]
+    scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],
+                             jnp.full((net.shape[-1] - 3,), 1.0, net.dtype) * t[1]])
+    return net * scale

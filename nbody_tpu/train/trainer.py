@@ -81,6 +81,7 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.optimizer)
         self.eval_step = make_eval_step(self.model)
         self.saver = saver
+        self.num_inputs = getattr(self.dataset, "num_input_channels", 6)
         self.metrics_log: list[dict] = []
 
     def _log(self, rec: dict):
@@ -100,7 +101,7 @@ class Trainer:
         for it in range(num_iters):
             key, bkey = jax.random.split(key)
             batch = self.dataset.get_minibatch(bkey, tcfg.batch_size)
-            x_in, y_true = split_batch(jnp.asarray(batch))
+            x_in, y_true = split_batch(jnp.asarray(batch), self.num_inputs)
             self.state, loss = self.train_step(self.state, x_in, y_true)
             if (it + 1) % tcfg.checkpoint_every == 0:
                 last_loss = float(loss)
@@ -124,12 +125,14 @@ class Trainer:
         bsize = self.cfg.train.batch_size
         x_split = {"val": self.dataset.X_val, "test": self.dataset.X_test}[split]
         n = (x_split.shape[0] // bsize) * bsize
-        out_ch = self.cfg.model.channels[-1]
         errors = []
-        preds = np.zeros((2, n, self.dataset.num_particles, out_ch), np.float32)
+        preds = None
         for p, batch in self.dataset.sequential_batches(split, bsize):
-            x_in, y_true = split_batch(jnp.asarray(batch))
+            x_in, y_true = split_batch(jnp.asarray(batch), self.num_inputs)
             pred, err = self.eval_step(self.state.params, x_in, y_true)
+            if preds is None:  # out channels discovered from the model
+                preds = np.zeros((2, n, self.dataset.num_particles,
+                                  pred.shape[-1]), np.float32)
             preds[0, p:p + bsize] = np.asarray(y_true)
             preds[1, p:p + bsize] = np.asarray(pred)
             errors.append(float(err))

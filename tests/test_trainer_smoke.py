@@ -51,3 +51,26 @@ def test_eval_cube_layout():
     # slot 0 holds ground truth
     np.testing.assert_allclose(preds[0, :4], trainer.dataset.X_test[:4, :, 6:],
                                atol=1e-6)
+
+
+def test_velocity_task_loss_decreases():
+    """Joint position+velocity residual task (BASELINE config 4 semantics)."""
+    cfg = C.Config(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=4, num_val=3,
+                          cells_per_side=8, synthetic_num_samples=24,
+                          include_velocity=True),
+        model=C.ModelConfig(family="shiftinv_vel", channels=(9, 16, 8, 6),
+                            k_neighbors=4, seed=11),
+        train=C.TrainConfig(num_iters=80, batch_size=2, learn_rate=3e-3,
+                            checkpoint_every=1000))
+    trainer = Trainer(cfg)
+    assert trainer.dataset.num_input_channels == 9
+    from nbody_tpu.data.dataset import split_batch
+    import jax.numpy as jnp
+    batch = trainer.dataset.get_minibatch(jax.random.PRNGKey(5), 2)
+    x, y = split_batch(jnp.asarray(batch), 9)
+    assert x.shape[-1] == 9 and y.shape[-1] == 6
+    pred, loss0 = trainer.eval_step(trainer.state.params, x, y)
+    assert pred.shape == y.shape
+    last = trainer.fit(verbose=False)
+    assert np.isfinite(last) and last < float(loss0)
