@@ -1,0 +1,107 @@
+"""Redshift-chain CLI: train per-pair models, evaluate the chained rollout.
+
+The reference's multi-step capability existed only in eval plumbing
+(per-pair models named 'X_{zx}-{zy}_{tag}', chained comparisons in
+visualization/plot_eval.py:210-246).  This driver makes it first-class:
+
+  1. train one model per adjacent redshift pair (z_i -> z_{i+1}) — the same
+     architecture, so parameters stack;
+  2. jit ONE lax.scan rollout across the whole chain (train/rollout.py);
+  3. report per-step rollout position MSE (the BASELINE.json rollout
+     metric) and save the trajectory cube.
+
+With synthetic data, each pair's "snapshot" is generated with a
+growth-scaled displacement amplitude so successive steps are correlated —
+a stand-in for the real multi-snapshot simulation files.
+
+Usage:
+    python -m nbody_tpu.cli.rollout --steps 4 -i 200 -b 2 --cells 8 --synthetic
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu import config as C
+from nbody_tpu.data.dataset import Dataset, split_batch
+from nbody_tpu.data.synthetic import synthetic_raw_cubes
+from nbody_tpu.io_.saver import Saver
+from nbody_tpu.physics.losses import loss_za
+from nbody_tpu.train.rollout import make_rollout, stack_params
+from nbody_tpu.train.trainer import Trainer
+
+
+def build_chain_parser():
+    p = C.build_parser()
+    p.add_argument("--steps", type=int, default=4,
+                   help="Number of redshift pairs in the chain (max 19)")
+    return p
+
+
+def synthetic_chain_raw(num_samples: int, cells: int, steps: int, seed: int):
+    """Per-step raw cubes with growth-scaled ZA amplitude: step t trains on
+    (za_t -> fpm_t) where amplitudes grow along the chain like structure
+    growth between redshift snapshots."""
+    return [synthetic_raw_cubes(num_samples=num_samples, cells=cells,
+                                seed=seed, za_rms=0.6 + 0.15 * t)
+            for t in range(steps)]
+
+
+def main(argv=None) -> int:
+    args = build_chain_parser().parse_args(argv)
+    C.apply_platform(args.platform)
+    cfg = C.config_from_args(args)
+    steps = min(args.steps, len(C.REDSHIFTS) - 1)
+
+    saver = Saver(cfg.data.data_idx, model_tag=cfg.train.name or "chain",
+                  experiments_dir=cfg.train.experiments_dir)
+
+    raws = synthetic_chain_raw(cfg.data.synthetic_num_samples,
+                               cfg.data.cells_per_side, steps, cfg.data.seed)
+
+    params_seq, model = [], None
+    for t in range(steps):
+        zx, zy = C.REDSHIFTS[t], C.REDSHIFTS[t + 1]
+        print(f"\n=== pair {t}: z {zx} -> {zy} ===")
+        ds = Dataset(cfg.data, raw=raws[t])
+        trainer = Trainer(cfg, dataset=ds)
+        trainer.fit(verbose=True)
+        params_seq.append(trainer.state.params)
+        model = trainer.model
+
+    stacked = stack_params(params_seq)
+    rollout = make_rollout(model)
+
+    # rollout from the first pair's test inputs; truth chain = per-step
+    # targets accumulated the same way the rollout accumulates predictions
+    ds0 = Dataset(cfg.data, raw=raws[0])
+    ntest = ds0.X_test.shape[0]
+    x0, _ = split_batch(jnp.asarray(ds0.X_test))
+    truth = []
+    disp = x0[..., 3:6]
+    for t in range(steps):
+        dst = Dataset(cfg.data, raw=raws[t])
+        _, y = split_batch(jnp.asarray(dst.X_test[:ntest]))
+        disp = disp + y[..., :3]
+        truth.append(disp)
+    truth = jnp.stack(truth)
+
+    final, traj = rollout(stacked, x0)
+    per_step_mse = np.asarray(jax.vmap(loss_za)(traj, truth))
+    print("\nRollout position MSE per chain step:")
+    for t, m in enumerate(per_step_mse):
+        print(f"  step {t} (z {C.REDSHIFTS[t]:.3f} -> {C.REDSHIFTS[t+1]:.3f})"
+              f" : {m:.6f}")
+    saver.save_cube(np.stack([np.asarray(truth), np.asarray(traj)]))
+    saver.append_metrics({"rollout_mse": per_step_mse.tolist(),
+                          "steps": steps})
+    print(json.dumps({"rollout_final_mse": float(per_step_mse[-1])}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

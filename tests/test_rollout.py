@@ -61,3 +61,21 @@ def test_rollout_graph_model():
                                    steps=2)
     final, traj = make_rollout(model)(stacked, x0)
     assert final.shape == (2, 64, 3) and bool(jnp.all(jnp.isfinite(final)))
+
+
+def test_chain_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    from nbody_tpu.cli import rollout as cli_rollout
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_rollout.main([
+        "--steps", "2", "-i", "8", "-b", "2", "-t", "2", "--cells", "8",
+        "--synthetic", "-n", "chaintest", "--model", "set",
+        "-c", "6", "8", "3", "-l", "0.003"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Rollout position MSE" in out
+    import json as _json
+    last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    assert np.isfinite(_json.loads(last)["rollout_final_mse"])
+    cube = np.load(tmp_path / "exp" / "ZA-FPM_0_chaintest" / "Results" /
+                   "X_0_prediction.npy")
+    assert cube.shape[0] == 2 and cube.shape[1] == 2  # (truth/pred, steps,...)
