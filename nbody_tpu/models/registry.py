@@ -40,8 +40,27 @@ def _resolve_band(cfg: C.ModelConfig, box: float):
     return cfg.band
 
 
+def _mixed_precision(model: Model, dtype) -> Model:
+    """Proper mixed precision: parameters (and hence Adam moments) stay f32;
+    the forward computes in `dtype` (bf16 on the MXU); predictions return
+    in f32 for a stable loss/backward accumulation."""
+    if dtype == jnp.float32:
+        return model
+
+    def apply(params, x_in):
+        params_c = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        return model.apply(params_c, x_in).astype(jnp.float32)
+
+    return Model(model.init, apply, model.family)
+
+
 def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
     dtype = jnp.dtype(cfg.dtype)
+    model = _build_model_inner(cfg, box, dtype)
+    return _mixed_precision(model, dtype)
+
+
+def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
     channels = list(cfg.channels)
 
     if cfg.family == "set":
@@ -50,7 +69,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
             channels = list(C.CHANNELS)
 
         def init(key):
-            return set_net.init_set_params(key, channels, dtype)
+            return set_net.init_set_params(key, channels, jnp.float32)
 
         def apply(params, x_in):
             return set_net.set_network(params, x_in.astype(dtype))
@@ -65,7 +84,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
         band = _resolve_band(cfg, box)
 
         def init(key):
-            return shiftinv.init_shiftinv_vel_params(key, channels, dtype)
+            return shiftinv.init_shiftinv_vel_params(key, channels, jnp.float32)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
@@ -88,7 +107,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
             from nbody_tpu.models import shiftinv
 
             def init(key):
-                return shiftinv.init_shiftinv_params(key, channels, dtype)
+                return shiftinv.init_shiftinv_params(key, channels, jnp.float32)
 
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
@@ -102,7 +121,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
         from nbody_tpu.models import shiftinv15
 
         def init(key):
-            return shiftinv15.init_shiftinv15_params(key, channels, dtype)
+            return shiftinv15.init_shiftinv15_params(key, channels, jnp.float32)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
@@ -119,7 +138,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
             channels = list(C.ATTN_CHANNELS)
 
         def init(key):
-            return attn.init_attn_params(key, channels, dtype)
+            return attn.init_attn_params(key, channels, jnp.float32)
 
         def apply(params, x_in):
             return attn.attn_network(params, x_in.astype(dtype),

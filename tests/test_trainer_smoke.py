@@ -74,3 +74,19 @@ def test_velocity_task_loss_decreases():
     assert pred.shape == y.shape
     last = trainer.fit(verbose=False)
     assert np.isfinite(last) and last < float(loss0)
+
+
+def test_bfloat16_mixed_precision():
+    """bf16 compute, f32 params/optimizer: trains without NaN, params f32."""
+    import jax
+    cfg = _cfg("shiftinv", (3, 16, 8, 3), iters=40, lr=2e-3)
+    cfg = C.Config(data=cfg.data,
+                   model=C.ModelConfig(family="shiftinv", channels=(3, 16, 8, 3),
+                                       k_neighbors=4, seed=99, dtype="bfloat16"),
+                   train=cfg.train)
+    trainer = Trainer(cfg)
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.dtype == np.float32
+    loss0 = _initial_loss(trainer)
+    last = trainer.fit(verbose=False)
+    assert np.isfinite(last) and last < loss0
