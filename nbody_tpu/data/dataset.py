@@ -96,8 +96,14 @@ class Dataset:
     @staticmethod
     def _load_raw(cfg: C.DataConfig) -> np.ndarray:
         paths = sorted(glob.glob(os.path.join(cfg.data_dir, "*.npy")))
-        if paths and 0 <= cfg.data_idx < len(paths):
+        if paths:
+            if not 0 <= cfg.data_idx < len(paths):
+                raise IndexError(
+                    f"data_idx {cfg.data_idx} out of range: {len(paths)} "
+                    f"dataset files in {cfg.data_dir}")
             return load_cube_file(paths[cfg.data_idx])
+        print(f"No .npy cubes in {cfg.data_dir} — generating synthetic data "
+              f"({cfg.synthetic_num_samples} x {cfg.cells_per_side}^3).")
         return synthetic_raw_cubes(
             num_samples=cfg.synthetic_num_samples, cells=cfg.cells_per_side,
             seed=cfg.seed)
@@ -147,8 +153,11 @@ class StreamingDataset:
         self._train_idx = perm[:s - num_test - num_val]
         val_idx = perm[s - num_test - num_val:s - num_test]
         test_idx = perm[s - num_test:]
-        self.X_val = features_from_raw(self._loader.gather(val_idx))
-        self.X_test = features_from_raw(self._loader.gather(test_idx))
+        self.num_input_channels = 9 if cfg.include_velocity else 6
+        self.X_val = features_from_raw(self._loader.gather(val_idx),
+                                       include_velocity=cfg.include_velocity)
+        self.X_test = features_from_raw(self._loader.gather(test_idx),
+                                        include_velocity=cfg.include_velocity)
         self._sampler = None
         self._PrefetchingSampler = PrefetchingSampler
 
@@ -163,7 +172,8 @@ class StreamingDataset:
         if self._sampler is None or self._sampler.batch_size != batch_size:
             self._sampler = self._PrefetchingSampler(
                 self._loader, self._train_idx, batch_size, seed=self.cfg.seed)
-        return features_from_raw(self._sampler.next())
+        return features_from_raw(self._sampler.next(),
+                                 include_velocity=self.cfg.include_velocity)
 
     def sequential_batches(self, split: str, batch_size: int):
         x = {"val": self.X_val, "test": self.X_test}[split]

@@ -18,8 +18,9 @@ since the coupled gate needs a cross-batch psum.
 Batch norm: the reference called tf.layers.batch_normalization with the
 default training=False and never updated moving statistics, so it reduced to
 a learnable affine (gamma, beta) around frozen (0, 1) stats.  Here: proper
-batch statistics over (batch, particles) with learnable (gamma, beta) —
-a deliberate fix, documented deviation.
+batch statistics over (batch, particles) during training (a deliberate,
+documented fix), and the reference's frozen (0, 1) stats in eval mode so
+predictions stay deterministic and batch-independent.
 """
 
 from __future__ import annotations
@@ -87,25 +88,38 @@ def attn_layer(x_in: jnp.ndarray, p: Dict[str, jnp.ndarray],
 
 
 def batch_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
-               eps: float = 1e-3) -> jnp.ndarray:
-    """Batch statistics over (b, N); eps matches TF's default 1e-3."""
-    mu = jnp.mean(x, axis=(0, 1), keepdims=True)
-    var = jnp.var(x, axis=(0, 1), keepdims=True)
+               eps: float = 1e-3, train_mode: bool = True) -> jnp.ndarray:
+    """Batch statistics over (b, N); eps matches TF's default 1e-3.
+
+    train_mode=False freezes the statistics at (0, 1) — exactly the
+    reference's eval behavior (tf.layers.batch_normalization with
+    training=False and never-updated moving averages), which keeps eval
+    predictions deterministic and independent of batch composition."""
+    if train_mode:
+        mu = jnp.mean(x, axis=(0, 1), keepdims=True)
+        var = jnp.var(x, axis=(0, 1), keepdims=True)
+    else:
+        mu = jnp.zeros((), x.dtype)
+        var = jnp.ones((), x.dtype)
     return gamma * (x - mu) * jax.lax.rsqrt(var + eps) + beta
 
 
 def attn_network(params: List[Dict[str, jnp.ndarray]], x_in: jnp.ndarray,
-                 batch_coupled_gate: bool = True) -> jnp.ndarray:
+                 batch_coupled_gate: bool = True,
+                 train_mode: bool = True) -> jnp.ndarray:
     """[attn -> batch_norm -> leaky_relu] stack with tanh input-residual
-    merged into the final layer (reference net_fwd, experiment.py:139-157)."""
+    merged into the final layer (reference net_fwd, experiment.py:139-157).
+
+    train_mode selects batch-norm statistics (batch stats vs the frozen
+    (0, 1) the reference used at eval)."""
     num_layers = len(params)
     h = batch_norm(jax.nn.leaky_relu(
         attn_layer(x_in, params[0], batch_coupled_gate)),
-        params[0]["gamma"], params[0]["beta"])
+        params[0]["gamma"], params[0]["beta"], train_mode=train_mode)
     r = jnp.tanh(set_transform(x_in, params[0]["R"]))
     for i in range(1, num_layers - 1):
         h = batch_norm(jax.nn.leaky_relu(
             attn_layer(h, params[i], batch_coupled_gate)),
-            params[i]["gamma"], params[i]["beta"])
+            params[i]["gamma"], params[i]["beta"], train_mode=train_mode)
         r = jnp.tanh(set_transform(x_in, params[i]["R"]))
     return attn_layer(h + r, params[num_layers - 1], batch_coupled_gate)

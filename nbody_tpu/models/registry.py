@@ -23,6 +23,12 @@ class Model(NamedTuple):
     init: Callable        # key -> params
     apply: Callable       # (params, x_in (b,N,6)) -> (b,N,3)
     family: str
+    # eval-mode forward (deterministic, batch-independent); defaults to apply
+    apply_eval: Callable = None
+
+    @property
+    def eval_fn(self):
+        return self.apply_eval if self.apply_eval is not None else self.apply
 
 
 def _graph_geometry(x_in: jnp.ndarray, box: float):
@@ -47,11 +53,14 @@ def _mixed_precision(model: Model, dtype) -> Model:
     if dtype == jnp.float32:
         return model
 
-    def apply(params, x_in):
-        params_c = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
-        return model.apply(params_c, x_in).astype(jnp.float32)
+    def cast(fn):
+        def wrapped(params, x_in):
+            params_c = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+            return fn(params_c, x_in).astype(jnp.float32)
+        return wrapped
 
-    return Model(model.init, apply, model.family)
+    return Model(model.init, cast(model.apply), model.family,
+                 cast(model.apply_eval) if model.apply_eval is not None else None)
 
 
 def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE) -> Model:
@@ -144,6 +153,11 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             return attn.attn_network(params, x_in.astype(dtype),
                                      batch_coupled_gate=cfg.batch_coupled_gate)
 
-        return Model(init, apply, "attn")
+        def apply_eval(params, x_in):
+            return attn.attn_network(params, x_in.astype(dtype),
+                                     batch_coupled_gate=cfg.batch_coupled_gate,
+                                     train_mode=False)
+
+        return Model(init, apply, "attn", apply_eval)
 
     raise ValueError(f"unknown model family: {cfg.family!r}")

@@ -128,10 +128,9 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     Output (b, N, 6): displacement and velocity residuals, each scaled by a
     learnable scalar (loc_scalar, vel_scalar).
     """
-    rel = edge_features_za(pos, idx, za_disp, box, band)              # (b,N,K,3)
-    vel_cols = neighbor_gather(vel, idx, band)
-    vel_rows = jnp.broadcast_to(vel[:, :, None, :], vel_cols.shape)
-    edges = jnp.concatenate([rel, vel_rows, vel_cols], axis=-1)       # (b,N,K,9)
+    from nbody_tpu.ops.graph_features import edge_features_with_nodes
+    edges = edge_features_with_nodes(pos, idx, vel, box, band,
+                                     za_disp=za_disp)                 # (b,N,K,9)
     net = shiftinv_network(params["layers"], edges, idx, activation, band)
     t = params["T"]
     scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],

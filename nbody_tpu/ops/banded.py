@@ -46,7 +46,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _tile_size(n: int) -> int:
-    return min(n, 256)
+    """Largest row tile <= 256 that divides n (any n is served: worst case 1)."""
+    for r in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if n % r == 0:
+            return r
+    return 1
 
 
 def _circular_pad(values: jnp.ndarray, half: int) -> jnp.ndarray:
@@ -72,7 +76,6 @@ def banded_gather(values: jnp.ndarray, idx: jnp.ndarray,
     half = band // 2
     r = _tile_size(n)
     num_tiles = n // r
-    assert n % r == 0, "N must be divisible by the tile size"
     slab = r + 2 * half
 
     vpad = _circular_pad(values, half)                 # (N + 2*half, C)
@@ -86,7 +89,8 @@ def banded_gather(values: jnp.ndarray, idx: jnp.ndarray,
         p = _slab_positions(idx_t, row_t[:, None], t0, n, half)   # (R, K)
         oh = (p.reshape(r * k, 1) == lane).astype(values.dtype)   # (R*K, slab)
         slab_vals = jax.lax.dynamic_slice(vpad, (t0, 0), (slab, c))
-        out = jnp.dot(oh, slab_vals, preferred_element_type=values.dtype)
+        out = jnp.dot(oh, slab_vals, preferred_element_type=values.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
         return carry, out
 
     _, out = jax.lax.scan(tile_fn, None, (idx_tiles, rows))
@@ -117,7 +121,8 @@ def banded_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
         t0 = row_t[0]
         p = _slab_positions(idx_t, row_t[:, None], t0, n, half)
         oh = (p.reshape(r * k, 1) == lane).astype(vals.dtype)     # (R*K, slab)
-        contrib = jnp.dot(oh.T, val_t, preferred_element_type=vals.dtype)
+        contrib = jnp.dot(oh.T, val_t, preferred_element_type=vals.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
         cur = jax.lax.dynamic_slice(acc, (t0, 0), (slab, c))
         return jax.lax.dynamic_update_slice(acc, cur + contrib, (t0, 0)), None
 
@@ -159,7 +164,9 @@ def band_violations(idx: jnp.ndarray, band: int) -> jnp.ndarray:
 
 def _use_pallas() -> bool:
     import jax as _jax
-    return _jax.default_backend() not in ("cpu",)
+    # the Pallas kernels are TPU-only (Mosaic); 'axon' is this machine's
+    # tunneled TPU platform name
+    return _jax.default_backend() in ("tpu", "axon")
 
 
 def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:

@@ -43,13 +43,19 @@ def edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray, za_disp: jnp.ndarray,
 def edge_features_with_nodes(pos: jnp.ndarray, idx: jnp.ndarray,
                              node_feats: jnp.ndarray, box: float,
                              band: Optional[int] = None,
+                             za_disp: Optional[jnp.ndarray] = None,
                              redshift: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Edges + broadcast node features (reference include_node_features).
 
     Returns (b, N, K, 3 + 2*C_node [+1]): [rel_pos, node[row], node[col], z?].
+    With za_disp, the self-edge (slot 0) of the relative-position block
+    carries the ZA displacement (graph.py:338-343), as in edge_features_za.
+    Used by the velocity model (models/shiftinv.shiftinv_vel_model).
     """
     edges = min_image_diff(neighbor_gather(pos, idx, band),
                            pos[:, :, None, :], box)
+    if za_disp is not None:
+        edges = edges.at[:, :, 0, :].set(za_disp)
     rows = jnp.broadcast_to(node_feats[:, :, None, :],
                             edges.shape[:3] + (node_feats.shape[-1],))
     cols = neighbor_gather(node_feats, idx, band)

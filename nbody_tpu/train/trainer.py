@@ -58,10 +58,12 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
 
 
 def make_eval_step(model: Model, loss_fn: Callable = loss_za):
-    """Jitted (params, x_in, y_true) -> (pred, loss)."""
+    """Jitted (params, x_in, y_true) -> (pred, loss).  Uses the model's
+    deterministic eval-mode forward (e.g. frozen batch-norm stats)."""
+    fwd = model.eval_fn
 
     def step(params, x_in, y_true):
-        pred = model.apply(params, x_in)
+        pred = fwd(params, x_in)
         return pred, loss_fn(pred, y_true)
 
     return jax.jit(step)
@@ -110,7 +112,10 @@ class Trainer:
                 if verbose:
                     print(f"Checkpoint {it + 1:>5} : {last_loss:.6f}")
                 if self.saver is not None:
-                    self.saver.save_checkpoint(self.state, it + 1)
+                    # label with the global state step (restored runs
+                    # continue the numbering instead of overwriting)
+                    self.saver.save_checkpoint(self.state,
+                                               int(self.state.step))
         if loss is not None:
             last_loss = float(jax.device_get(loss))
         return last_loss
@@ -125,6 +130,10 @@ class Trainer:
         bsize = self.cfg.train.batch_size
         x_split = {"val": self.dataset.X_val, "test": self.dataset.X_test}[split]
         n = (x_split.shape[0] // bsize) * bsize
+        if n == 0:
+            raise ValueError(
+                f"{split} split has {x_split.shape[0]} samples — fewer than "
+                f"batch_size={bsize}; lower -b or raise the split size")
         errors = []
         preds = None
         for p, batch in self.dataset.sequential_batches(split, bsize):

@@ -119,3 +119,44 @@ def test_experiment_cli_entry(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "MODEL NAMED: ZA-FPM_0_exptest" in out and "Test Error" in out
+
+
+def test_attn_eval_is_batch_independent():
+    """Eval-mode batch norm is frozen: the same sample gets the same
+    prediction regardless of batch composition (code-review finding)."""
+    import jax.numpy as jnp
+    from nbody_tpu.data.dataset import split_batch
+    trainer = Trainer(_cfg("attn", (6, 16, 16, 3), iters=5))
+    trainer.fit(verbose=False)
+    x_all, y_all = split_batch(jnp.asarray(trainer.dataset.X_test[:4]))
+    pred_all, _ = trainer.eval_step(trainer.state.params, x_all, y_all)
+    pred_solo, _ = trainer.eval_step(trainer.state.params, x_all[2:3], y_all[2:3])
+    np.testing.assert_allclose(np.asarray(pred_all[2:3]), np.asarray(pred_solo),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_graph_model_odd_cube_size():
+    """Cube sizes whose N is not a multiple of 256 must work on the jnp
+    banded path (code-review finding: cells=10 -> N=1000 crashed)."""
+    trainer = Trainer(_cfg("shiftinv", (3, 8, 3), cells=10, iters=3, k=4))
+    last = trainer.fit(verbose=False)
+    assert np.isfinite(last)
+
+
+def test_data_idx_out_of_range_raises(tmp_path):
+    from nbody_tpu.data.dataset import Dataset
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    np.save(tmp_path / "ZA_001.npy", synthetic_raw_cubes(4, 8, 0))
+    import pytest
+    with pytest.raises(IndexError, match="out of range"):
+        Dataset(C.DataConfig(data_dir=str(tmp_path), data_idx=3,
+                             num_test=1, num_val=1))
+
+
+def test_evaluate_split_smaller_than_batch_raises():
+    import pytest
+    trainer = Trainer(_cfg("set", (6, 8, 3), iters=1))
+    trainer.cfg = C.Config(data=trainer.cfg.data, model=trainer.cfg.model,
+                           train=C.TrainConfig(num_iters=1, batch_size=64))
+    with pytest.raises(ValueError, match="fewer than"):
+        trainer.evaluate(verbose=False)
