@@ -52,13 +52,16 @@ def load_or_measure_baseline() -> dict:
 
 def measure_tpu_graph_step() -> float:
     import jax
+    from nbody_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
+    import numpy as _np
     import optax
     from nbody_tpu import config as C
     from nbody_tpu.data.synthetic import synthetic_raw_cubes
-    from nbody_tpu.data.dataset import features_from_raw, split_batch
+    from nbody_tpu.data.dataset import features_from_raw
     from nbody_tpu.models.registry import build_model
-    from nbody_tpu.train.trainer import init_train_state, make_train_step
+    from nbody_tpu.train.trainer import init_train_state, make_train_scan
 
     n = CELLS ** 3
     raw = synthetic_raw_cubes(num_samples=2 * BATCH, cells=CELLS, seed=0)
@@ -68,22 +71,22 @@ def measure_tpu_graph_step() -> float:
                       k_neighbors=K), box=4.0 * CELLS)
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)
-    step = make_train_step(model, opt)
+    scan_fn = make_train_scan(model, opt)
 
-    batches = [split_batch(jnp.asarray(x[i * BATCH:(i + 1) * BATCH]))
-               for i in range(2)]
-    # NB: jax.block_until_ready does not reliably block on this tunneled
-    # platform (measured) — only a device->host fetch is a true barrier.
-    # So: chain WARMUP steps, fetch; chain ITERS steps, fetch; wall-clock
-    # over the whole chain.
-    for i in range(WARMUP):
-        state, loss = step(state, *batches[i % 2])
-    float(loss)
+    # the production training path: ITERS optimizer steps per device
+    # dispatch (lax.scan) — amortizes the tunnel's per-call latency.
+    # NB: jax.block_until_ready does not reliably block on this platform
+    # (measured) — only a device->host fetch is a true barrier.
+    chunk = jnp.asarray(_np.stack(
+        [x[(i % 2) * BATCH:(i % 2 + 1) * BATCH] for i in range(ITERS)]))
+    for _ in range(max(1, WARMUP // ITERS + 1)):
+        state, losses = scan_fn(state, chunk, 6)
+    float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, loss = step(state, *batches[i % 2])
-    float(loss)  # host fetch = true barrier
+    state, losses = scan_fn(state, chunk, 6)
+    final = float(losses[-1])  # host fetch = true barrier
     sec = (time.perf_counter() - t0) / ITERS
+    assert _np.isfinite(final)
     return BATCH * n / sec
 
 

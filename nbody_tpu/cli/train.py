@@ -26,6 +26,7 @@ from nbody_tpu.train.trainer import Trainer
 def main(argv=None) -> int:
     args = C.build_parser().parse_args(argv)
     C.apply_platform(args.platform)
+    C.enable_compilation_cache()
     cfg = C.config_from_args(args)
 
     saver = Saver(cfg.data.data_idx, model_tag=cfg.train.name,

@@ -194,6 +194,20 @@ def apply_platform(platform: str):
         jax.config.update("jax_platforms", platform)
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None):
+    """Persistent XLA compilation cache: compiled executables survive across
+    processes.  Important on this machine — TPU compiles go through a remote
+    tunnel that is slow (20-60s per program) and occasionally drops."""
+    import jax
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def config_from_args(args: argparse.Namespace) -> Config:
     family = args.model
     if family is None:

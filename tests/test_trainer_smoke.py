@@ -160,3 +160,19 @@ def test_evaluate_split_smaller_than_batch_raises():
                            train=C.TrainConfig(num_iters=1, batch_size=64))
     with pytest.raises(ValueError, match="fewer than"):
         trainer.evaluate(verbose=False)
+
+
+def test_fit_scan_matches_fit():
+    """scan-chunked training computes the same trajectory as per-step fit()
+    given the same key stream."""
+    import jax
+    t1 = Trainer(_cfg("set", (6, 16, 3), iters=12, lr=0.002))
+    t2 = Trainer(_cfg("set", (6, 16, 3), iters=12, lr=0.002))
+    key = jax.random.PRNGKey(42)
+    l1 = t1.fit(num_iters=12, key=key, verbose=False)
+    l2 = t2.fit_scan(num_iters=12, key=key, scan_chunk=5, verbose=False)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
