@@ -114,6 +114,9 @@ class ModelConfig:
     # "auto" derives it from the cube geometry; None disables the band
     # assumption (exact for arbitrary point sets); an int sets it explicitly.
     band: object = "auto"
+    # kNN search algorithm: "lattice" (cell-list rolls, fastest, exact for
+    # grid-ordered cubes), "banded" (index slab), "exact" (O(N^2))
+    knn_method: str = "lattice"
 
     @property
     def num_layers(self) -> int:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu import config as C
-from nbody_tpu.ops.knn import knn_periodic_batch
+from nbody_tpu.ops.knn import knn_periodic_batch, knn_periodic_lattice_batch
 
 
 class Model(NamedTuple):
@@ -44,6 +44,26 @@ def _resolve_band(cfg: C.ModelConfig, box: float):
         from nbody_tpu.ops.banded import default_band
         return default_band(int(round(box / 4.0)))
     return cfg.band
+
+
+def _make_knn(cfg: C.ModelConfig, box: float, band):
+    """kNN builder for graph models: positions (b, N, 3) raw -> idx (b, N, K).
+
+    "lattice" (default) uses the cell-list roll search when N is a full
+    cells^3 cube; otherwise falls back to the banded/exact pairwise search.
+    """
+    k = cfg.k_neighbors
+    cells = int(round(box / 4.0))
+
+    def knn(pos):
+        pos_norm = jnp.mod(pos / box, 1.0)
+        if cfg.knn_method == "lattice" and pos.shape[-2] == cells ** 3:
+            return knn_periodic_lattice_batch(pos_norm, k, cells=cells)
+        if cfg.knn_method in ("lattice", "banded"):
+            return knn_periodic_batch(pos_norm, k, band=band)
+        return knn_periodic_batch(pos_norm, k)
+
+    return knn
 
 
 def _mixed_precision(model: Model, dtype) -> Model:
@@ -95,10 +115,12 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         def init(key):
             return shiftinv.init_shiftinv_vel_params(key, channels, jnp.float32)
 
+        knn = _make_knn(cfg, box, band)
+
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             vel = x_in[..., 6:9]
-            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
+            idx = knn(pos)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
                 vel.astype(dtype), idx, box, band=band)
@@ -118,9 +140,11 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             def init(key):
                 return shiftinv.init_shiftinv_params(key, channels, jnp.float32)
 
+            knn = _make_knn(cfg, box, band)
+
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
-                idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
+                idx = knn(pos)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=band)
@@ -132,9 +156,11 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         def init(key):
             return shiftinv15.init_shiftinv15_params(key, channels, jnp.float32)
 
+        knn = _make_knn(cfg, box, band)
+
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
-            idx = knn_periodic_batch(jnp.mod(pos / box, 1.0), k, band=band)
+            idx = knn(pos)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=band)

@@ -142,3 +142,80 @@ def knn_periodic_batch(pos: jnp.ndarray, k: int, box: float = 1.0,
                            include_self=include_self, row_chunk=row_chunk,
                            band=band)
     return jax.vmap(fn)(pos)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cells", "include_self",
+                                             "window"))
+def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
+                         box: float = 1.0, include_self: bool = True,
+                         window: int = 3) -> jnp.ndarray:
+    """Cell-list kNN for grid-ordered particle cubes — zero gathers.
+
+    Particle n originates at lattice site (x, y, z) = unflatten(n) and is
+    displaced by < window grid spacings (true for ZA fields at these
+    redshifts), so all its spatial neighbors originate within +-window
+    cells.  Candidates are therefore the (2*window+1)^3 static ROLLS of the
+    position cube — contiguous slices, no dynamic indexing — giving
+    O(N * (2w+1)^3) work: ~25x less than the banded slab at 32^3, ~100x at
+    64^3, and trivially TPU-friendly.
+
+    The flat candidate index wraps per-coordinate (periodic lattice), which
+    a flat mod-N band cannot express; results are exact while max
+    displacement < window * spacing (verify with lattice_violations).
+    """
+    n = pos.shape[0]
+    assert cells ** 3 == n, "pos must be a cells^3 cube in grid order"
+    w = min(window, (cells - 1) // 2)
+    grid = pos.reshape(cells, cells, cells, 3)
+
+    offs = [(dx, dy, dz)
+            for dx in range(-w, w + 1)
+            for dy in range(-w, w + 1)
+            for dz in range(-w, w + 1)]
+    num_off = len(offs)
+
+    # distance to each rolled copy; (num_off, N)
+    d2 = []
+    for (dx, dy, dz) in offs:
+        cand = jnp.roll(grid, (-dx, -dy, -dz), axis=(0, 1, 2)).reshape(n, 3)
+        delta = min_image_diff(cand, pos, box)
+        dist = jnp.sum(delta * delta, axis=-1)
+        if (dx, dy, dz) == (0, 0, 0):
+            dist = jnp.full_like(dist, -1.0 if include_self else jnp.inf)
+        d2.append(dist)
+    d2 = jnp.stack(d2, axis=1)                       # (N, num_off)
+
+    _, sel = jax.lax.top_k(-d2, k)                   # (N, k) offset slots
+    off_arr = jnp.asarray(offs, dtype=jnp.int32)     # (num_off, 3)
+    dxyz = off_arr[sel]                              # (N, k, 3)
+
+    # decode: neighbor flat id with per-coordinate periodic wrap
+    ii = jnp.arange(n, dtype=jnp.int32)
+    x = ii // (cells * cells)
+    y = (ii // cells) % cells
+    z = ii % cells
+    nx = jnp.mod(x[:, None] + dxyz[..., 0], cells)
+    ny = jnp.mod(y[:, None] + dxyz[..., 1], cells)
+    nz = jnp.mod(z[:, None] + dxyz[..., 2], cells)
+    return ((nx * cells + ny) * cells + nz).astype(jnp.int32)
+
+
+def knn_periodic_lattice_batch(pos: jnp.ndarray, k: int, cells: int,
+                               box: float = 1.0, include_self: bool = True,
+                               window: int = 3) -> jnp.ndarray:
+    """Batched lattice kNN: pos (b, N, 3) -> (b, N, k)."""
+    fn = functools.partial(knn_periodic_lattice, k=k, cells=cells, box=box,
+                           include_self=include_self, window=window)
+    return jax.vmap(fn)(pos)
+
+
+def lattice_violations(pos: jnp.ndarray, cells: int, box: float = 1.0,
+                       window: int = 3) -> jnp.ndarray:
+    """Diagnostic: count particles displaced further than the lattice search
+    window can see (window - 1 spacings, a conservative margin).  Nonzero
+    means knn_periodic_lattice may miss true neighbors for those rows."""
+    from nbody_tpu.data.grid import grid_positions
+    spacing = box / cells
+    sites = grid_positions(cells, box=box).astype(pos.dtype)
+    d = min_image_diff(pos, sites.reshape(pos.shape[-2], 3), box)
+    return jnp.sum(jnp.any(jnp.abs(d) > (window - 1) * spacing, axis=-1))

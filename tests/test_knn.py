@@ -129,3 +129,41 @@ def test_banded_knn_wraps_index_space():
     banded = np.asarray(knn_periodic(jnp.asarray(pos), 4, band=16))
     np.testing.assert_array_equal(np.sort(banded, -1), np.sort(exact, -1))
     assert n - 1 in banded[0].tolist()  # wrapped neighbor found
+
+
+def test_lattice_knn_matches_exact_on_grid_cubes():
+    from nbody_tpu.ops.knn import knn_periodic_lattice
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch, positions_from_inputs
+    raw = synthetic_raw_cubes(num_samples=2, cells=8, seed=13)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=32.0))
+    for b in range(2):
+        exact = np.asarray(knn_periodic(pos[b], 8))
+        lattice = np.asarray(knn_periodic_lattice(pos[b], 8, cells=8))
+        np.testing.assert_array_equal(np.sort(lattice, -1), np.sort(exact, -1))
+        np.testing.assert_array_equal(lattice[:, 0], np.arange(512))
+
+
+def test_lattice_knn_periodic_wrap():
+    """Neighbors across the cube faces are found via per-coordinate wrap."""
+    from nbody_tpu.ops.knn import knn_periodic_lattice
+    from nbody_tpu.data.grid import grid_positions_np
+    cells = 8
+    rng = np.random.default_rng(3)
+    pos = grid_positions_np(cells, box=1.0)  # sites at spacing/2 + i*spacing
+    pos = (pos + 0.02 * rng.normal(size=pos.shape)).astype(np.float32) % 1.0
+    exact = np.asarray(knn_periodic(jnp.asarray(pos), 6))
+    lattice = np.asarray(knn_periodic_lattice(jnp.asarray(pos), 6, cells=cells))
+    np.testing.assert_array_equal(np.sort(lattice, -1), np.sort(exact, -1))
+
+
+def test_lattice_violations_diagnostic():
+    from nbody_tpu.ops.knn import lattice_violations
+    from nbody_tpu.data.grid import grid_positions_np
+    cells = 8
+    pos = grid_positions_np(cells, box=1.0).astype(np.float32)
+    assert int(lattice_violations(jnp.asarray(pos), cells)) == 0
+    bad = pos.copy()
+    bad[0] = (bad[0] + 0.45) % 1.0  # kicked ~3.6 spacings away
+    assert int(lattice_violations(jnp.asarray(bad), cells)) >= 1
