@@ -90,12 +90,44 @@ def measure_tpu_graph_step() -> float:
     return BATCH * n / sec
 
 
+def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
+    """Run the measurement isolated in a subprocess (the TPU tunnel on this
+    machine occasionally hangs whole processes; a timeout + retry in the
+    parent keeps the bench alive)."""
+    code = ("import bench, json\n"
+            + ("import jax; jax.config.update('jax_platforms','cpu')\n"
+               if force_cpu else "")
+            + "print('PPS', bench.measure_tpu_graph_step())\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=REPO, timeout=timeout_s)
+    for line in out.stdout.strip().splitlines():
+        if line.startswith("PPS "):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-400:]}")
+
+
 def main():
     baseline = load_or_measure_baseline()
     base_pps = baseline["graph"]["particle_steps_per_sec"]
-    pps = measure_tpu_graph_step()
+
+    metric = "train_step_throughput_shiftinv_32c_k14_b4"
+    pps = None
+    for attempt in range(2):
+        try:
+            pps = _measure_in_subprocess(timeout_s=540, force_cpu=False)
+            break
+        except (subprocess.TimeoutExpired, RuntimeError) as e:
+            print(f"# TPU measurement attempt {attempt + 1} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+            time.sleep(30)
+    if pps is None:
+        # tunnel down: report the same program on the CPU backend, honestly
+        # labeled, so the round still records a measurement
+        metric += "_CPU_FALLBACK_tpu_tunnel_down"
+        pps = _measure_in_subprocess(timeout_s=3600, force_cpu=True)
+
     print(json.dumps({
-        "metric": "train_step_throughput_shiftinv_32c_k14_b4",
+        "metric": metric,
         "value": round(pps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(pps / base_pps, 2),

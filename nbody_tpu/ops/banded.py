@@ -173,14 +173,22 @@ def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
     if _use_pallas():
         from nbody_tpu.ops.pallas.banded_kernels import banded_gather_pallas
         return banded_gather_pallas(values, idx, band)
-    return jax.vmap(lambda v, i: banded_gather(v, i, band))(values, idx)
+    # non-TPU backends: XLA's native gather is fast there — use it directly
+    # (banded_gather stays as the semantics oracle for tests)
+    return jax.vmap(lambda v, i: v[i])(values, idx)
 
 
 def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
     if _use_pallas():
         from nbody_tpu.ops.pallas.banded_kernels import banded_scatter_add_pallas
         return banded_scatter_add_pallas(vals, idx, band)
-    return jax.vmap(lambda v, i: banded_scatter_add(v, i, band))(vals, idx)
+    n = vals.shape[1]
+
+    def one(v, i):
+        return jnp.zeros((n, v.shape[-1]), v.dtype).at[i.reshape(-1)].add(
+            v.reshape(-1, v.shape[-1]))
+
+    return jax.vmap(one)(vals, idx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
