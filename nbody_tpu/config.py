@@ -117,6 +117,8 @@ class ModelConfig:
     # kNN search algorithm: "lattice" (cell-list rolls, fastest, exact for
     # grid-ordered cubes), "banded" (index slab), "exact" (O(N^2))
     knn_method: str = "lattice"
+    # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
+    remat: bool = False
 
     @property
     def num_layers(self) -> int:

@@ -123,7 +123,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
-                vel.astype(dtype), idx, box, band=band)
+                vel.astype(dtype), idx, box, band=band, remat=cfg.remat)
 
         return Model(init, apply, "shiftinv_vel")
 
@@ -147,7 +147,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
                 idx = knn(pos)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
-                    band=band)
+                    band=band, remat=cfg.remat)
 
             return Model(init, apply, "shiftinv")
 
@@ -163,7 +163,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
-                band=band)
+                band=band, remat=cfg.remat)
 
         return Model(init, apply, "shiftinv15")
 

@@ -24,6 +24,7 @@ Last layer pools edges back to particles: mean over K -> (b, N, q)
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -79,13 +80,21 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
 
 def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                      idx: jnp.ndarray, activation=jax.nn.relu,
-                     band: Optional[int] = None) -> jnp.ndarray:
-    """Layer stack (reference network_func_shift_inv_za, graph.py:463-476)."""
+                     band: Optional[int] = None,
+                     remat: bool = False) -> jnp.ndarray:
+    """Layer stack (reference network_func_shift_inv_za, graph.py:463-476).
+
+    remat=True rematerializes each layer in the backward pass
+    (jax.checkpoint): edge activations are (b, N, K, C) — at 64^3 cubes the
+    memory saving is what makes training fit (SURVEY.md §7 hard parts)."""
     h = edges
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
-        h = shift_inv_layer(h, idx, layer_params, is_last=is_last, band=band)
+        fn = functools.partial(shift_inv_layer, is_last=is_last, band=band)
+        if remat:
+            fn = jax.checkpoint(fn)
+        h = fn(h, idx, layer_params)
         if not is_last:
             h = activation(h)
     return h
@@ -94,14 +103,15 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
 def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                    idx: jnp.ndarray, box: float,
                    activation=jax.nn.relu,
-                   band: Optional[int] = None) -> jnp.ndarray:
+                   band: Optional[int] = None,
+                   remat: bool = False) -> jnp.ndarray:
     """Full model: featurize + network (reference model_func_shift_inv_za).
 
     pos (b, N, 3) raw positions (grid + ZA), idx (b, N, K) with self at
     slot 0, za_disp (b, N, 3).  Returns predicted residual (b, N, 3..q).
     """
     edges = edge_features_za(pos, idx, za_disp, box, band)
-    return shiftinv_network(params, edges, idx, activation, band)
+    return shiftinv_network(params, edges, idx, activation, band, remat)
 
 
 def init_shiftinv_vel_params(key: jax.Array, channels: Sequence[int],
@@ -119,7 +129,8 @@ def init_shiftinv_vel_params(key: jax.Array, channels: Sequence[int],
 def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                        vel: jnp.ndarray, idx: jnp.ndarray, box: float,
                        activation=jax.nn.relu,
-                       band: Optional[int] = None) -> jnp.ndarray:
+                       band: Optional[int] = None,
+                       remat: bool = False) -> jnp.ndarray:
     """Velocity-aware graph model (the reference's commented
     _model_func_shift_inv, graph.py:517-567, made real).
 
@@ -131,7 +142,8 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     from nbody_tpu.ops.graph_features import edge_features_with_nodes
     edges = edge_features_with_nodes(pos, idx, vel, box, band,
                                      za_disp=za_disp)                 # (b,N,K,9)
-    net = shiftinv_network(params["layers"], edges, idx, activation, band)
+    net = shiftinv_network(params["layers"], edges, idx, activation, band,
+                           remat)
     t = params["T"]
     scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],
                              jnp.full((net.shape[-1] - 3,), 1.0, net.dtype) * t[1]])

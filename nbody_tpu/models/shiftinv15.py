@@ -214,14 +214,18 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
 
 def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                        graph: BlockSymGraph, activation=jax.nn.relu,
-                       band: Optional[int] = None) -> jnp.ndarray:
+                       band: Optional[int] = None,
+                       remat: bool = False) -> jnp.ndarray:
     """Layer stack (reference network_func_15op_shift_inv_za)."""
+    import functools
     h = edges
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
-        h = shift_inv_15op_layer(h, graph, layer_params, is_last=is_last,
-                                 band=band)
+        fn = functools.partial(shift_inv_15op_layer, is_last=is_last, band=band)
+        if remat:
+            fn = jax.checkpoint(fn)
+        h = fn(h, graph, layer_params)
         if not is_last:
             h = activation(h)
     return h
@@ -230,7 +234,8 @@ def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
 def shiftinv15_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                      idx: jnp.ndarray, box: float,
                      activation=jax.nn.relu,
-                     band: Optional[int] = None) -> jnp.ndarray:
+                     band: Optional[int] = None,
+                     remat: bool = False) -> jnp.ndarray:
     """Full model: symmetrized graph + features + network.
 
     pos (b, N, 3), za_disp (b, N, 3), idx (b, N, K) with self at slot 0.
@@ -238,7 +243,7 @@ def shiftinv15_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     graph = build_block_sym_graph(idx, band)
     feats = block_edge_features_za(pos, graph, za_disp, box, band)
     return shiftinv15_network(params, feats.astype(pos.dtype), graph,
-                              activation, band)
+                              activation, band, remat)
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,19 @@ def test_fit_scan_matches_fit():
                     jax.tree_util.tree_leaves(t2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'ed layers compute identical gradients."""
+    import jax
+    base = _cfg("shiftinv", (3, 8, 3), iters=6, k=4)
+    t1 = Trainer(base)
+    t2 = Trainer(C.Config(data=base.data,
+                          model=C.ModelConfig(family="shiftinv",
+                                              channels=(3, 8, 3), k_neighbors=4,
+                                              seed=99, remat=True),
+                          train=base.train))
+    key = jax.random.PRNGKey(7)
+    l1 = t1.fit(num_iters=6, key=key, verbose=False)
+    l2 = t2.fit(num_iters=6, key=key, verbose=False)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
