@@ -116,3 +116,34 @@ def test_ensemble_apply_shape():
     x_in, _ = _batch(b=2, seed=6)
     out = ensemble_apply(model, state.params, x_in)
     assert out.shape == (4, 2, 512, 3)
+
+
+@pytest.mark.parametrize("p,window", [(2, 3), (4, 2)])
+def test_halo_exchange_lattice_knn(p, window):
+    """ppermute halo-exchange kNN == unsharded lattice kNN == exact kNN."""
+    from nbody_tpu.parallel.sharding import knn_lattice_sharded
+    from nbody_tpu.ops.knn import knn_periodic_lattice
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch, positions_from_inputs
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=1, cells=cells, seed=21)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=32.0))[0]
+
+    ref = np.asarray(knn_periodic_lattice(pos, 6, cells=cells, window=window))
+    mesh = make_mesh(data=1, particle=p)
+    pos_sh = jax.device_put(pos, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("particle", None)))
+    ours = np.asarray(knn_lattice_sharded(pos_sh, 6, cells, mesh,
+                                          window=window))
+    np.testing.assert_array_equal(np.sort(ours, -1), np.sort(ref, -1))
+    np.testing.assert_array_equal(ours[:, 0], np.arange(cells ** 3))
+
+
+def test_halo_window_too_large_raises():
+    from nbody_tpu.parallel.sharding import knn_lattice_sharded
+    mesh = make_mesh(data=1, particle=8)   # local_x = 1 < window
+    pos = jnp.zeros((512, 3))
+    with pytest.raises(AssertionError, match="adjacent shards"):
+        knn_lattice_sharded(pos, 4, 8, mesh, window=3)
