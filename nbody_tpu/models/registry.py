@@ -42,6 +42,7 @@ def _graph_geometry(x_in: jnp.ndarray, box: float):
 def _resolve_band(cfg: C.ModelConfig, box: float):
     if cfg.band == "auto":
         from nbody_tpu.ops.banded import default_band
+        # with the lattice kNN the offsets are bounded by construction
         return default_band(int(round(box / 4.0)))
     return cfg.band
 
@@ -56,7 +57,8 @@ def _make_knn(cfg: C.ModelConfig, box: float, band):
     cells = int(round(box / 4.0))
 
     def knn(pos):
-        pos_norm = jnp.mod(pos / box, 1.0)
+        # neighbor search is index selection: never on the AD path
+        pos_norm = jax.lax.stop_gradient(jnp.mod(pos / box, 1.0))
         if cfg.knn_method == "lattice" and pos.shape[-2] == cells ** 3:
             return knn_periodic_lattice_batch(pos_norm, k, cells=cells)
         if cfg.knn_method in ("lattice", "banded"):

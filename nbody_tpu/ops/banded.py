@@ -34,11 +34,13 @@ import jax
 import jax.numpy as jnp
 
 
-def default_band(cells: int) -> int:
-    """Safe index band for a cells^3 cube: neighbors within +-3 grid sites
-    in each dimension plus slack covers |d_index| <= 3*(c^2 + c + 1) << c^3."""
+def default_band(cells: int, window: int = 3) -> int:
+    """Index band for a cells^3 cube searched with a +-window lattice kNN:
+    selected offsets satisfy |d_index| <= window*(c^2 + c + 1) BY
+    CONSTRUCTION (ops/knn.knn_periodic_lattice), so the band is exact, not
+    heuristic."""
     n = cells ** 3
-    return min(n, _round_up(8 * cells * cells, 256))
+    return min(n, _round_up(2 * window * (cells * cells + cells + 1), 256))
 
 
 def _round_up(x: int, m: int) -> int:

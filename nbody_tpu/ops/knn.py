@@ -172,18 +172,20 @@ def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
             for dx in range(-w, w + 1)
             for dy in range(-w, w + 1)
             for dz in range(-w, w + 1)]
-    num_off = len(offs)
+    self_slot = offs.index((0, 0, 0))
 
-    # distance to each rolled copy; (num_off, N)
-    d2 = []
-    for (dx, dy, dz) in offs:
-        cand = jnp.roll(grid, (-dx, -dy, -dz), axis=(0, 1, 2)).reshape(n, 3)
-        delta = min_image_diff(cand, pos, box)
-        dist = jnp.sum(delta * delta, axis=-1)
-        if (dx, dy, dz) == (0, 0, 0):
-            dist = jnp.full_like(dist, -1.0 if include_self else jnp.inf)
-        d2.append(dist)
-    d2 = jnp.stack(d2, axis=1)                       # (N, num_off)
+    # kNN search is pure index selection — keep it off the AD path
+    # (a traced-but-dead JVP of the 343 rolls OOM'd HBM via layout padding)
+    pos = jax.lax.stop_gradient(pos)
+    grid = jax.lax.stop_gradient(grid)
+
+    # distances to all rolled copies in one stacked op: (N, num_off)
+    cands = jnp.stack(
+        [jnp.roll(grid, (-dx, -dy, -dz), axis=(0, 1, 2)).reshape(n, 3)
+         for (dx, dy, dz) in offs], axis=1)          # (N, num_off, 3)
+    delta = min_image_diff(cands, pos[:, None, :], box)
+    d2 = jnp.sum(delta * delta, axis=-1)             # (N, num_off)
+    d2 = d2.at[:, self_slot].set(-1.0 if include_self else jnp.inf)
 
     _, sel = jax.lax.top_k(-d2, k)                   # (N, k) offset slots
     off_arr = jnp.asarray(offs, dtype=jnp.int32)     # (num_off, 3)

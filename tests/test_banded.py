@@ -70,8 +70,10 @@ def test_band_violations_counts():
 
 
 def test_default_band_reasonable():
-    assert default_band(32) >= 8 * 32 * 32
+    # must cover the lattice kNN's construction bound 2*w*(c^2+c+1)
+    assert default_band(32) >= 2 * 3 * (32 * 32 + 32 + 1)
     assert default_band(8) <= 512
+    assert default_band(8, window=2) <= default_band(8, window=3)
 
 
 def _batched(seed=0, spread=40):
