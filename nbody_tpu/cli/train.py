@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     trainer.fit()
     print(f"Training finished!\n\tElapsed time: {(time.time() - t0) / 60:.2f}m")
-    saver.save_checkpoint(trainer.state, cfg.train.num_iters)
+    saver.save_checkpoint(trainer.state, int(trainer.state.step))
 
     print(f"\nEvaluation:\n{'=' * 78}")
     test_error, test_predictions = trainer.evaluate("test")

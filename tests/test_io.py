@@ -108,3 +108,24 @@ def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert (results / "X_0_prediction.npy").exists()
     cube = np.load(results / "X_0_prediction.npy")
     assert cube.shape == (2, 2, 512, 3)
+
+
+def test_eval_cli_restores_and_matches(tmp_path, monkeypatch, capsys):
+    """Train -> checkpoint -> separate eval process restores and reproduces
+    the exact test error (the restore gap the reference never closed)."""
+    from nbody_tpu.cli import train as cli_train
+    from nbody_tpu.cli import eval as cli_eval
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    common = ["-b", "2", "-t", "2", "--synthetic", "--cells", "8",
+              "-c", "6", "8", "3", "--model", "set", "-n", "restoretest"]
+    assert cli_train.main(["-i", "6"] + common) == 0
+    out1 = capsys.readouterr().out
+    med1 = [l for l in out1.splitlines() if "median" in l][-1]
+
+    plot = str(tmp_path / "h.png")
+    assert cli_eval.main(common + ["--plot", plot]) == 0
+    out2 = capsys.readouterr().out
+    assert "Restored checkpoint at step 6" in out2
+    med2 = [l for l in out2.splitlines() if "median" in l][-1]
+    assert med1 == med2
+    assert os.path.getsize(plot) > 0
