@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu.models.base import init_network_params
-from nbody_tpu.ops.banded import neighbor_gather, neighbor_segment_mean
+from nbody_tpu.ops.banded import (neighbor_counts, neighbor_gather,
+                                  neighbor_segment_mean)
 from nbody_tpu.ops.graph_features import edge_features_za
 
 
@@ -44,9 +45,12 @@ def init_shiftinv_params(key: jax.Array, channels: Sequence[int], dtype=jnp.floa
 def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
                     layer_params: Dict[str, jnp.ndarray],
                     is_last: bool = False,
-                    band: Optional[int] = None) -> jnp.ndarray:
+                    band: Optional[int] = None,
+                    counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """One 4-op layer. h (b, N, K, C) edge features, idx (b, N, K) neighbor ids.
 
+    counts: precomputed in-degrees (ops.banded.neighbor_counts) — shared by
+    every layer since they depend only on idx.
     Returns (b, N, K, q), or (b, N, q) if is_last.
     """
     w = layer_params["W"]          # (4, C, q)
@@ -57,7 +61,7 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     h1 = jnp.einsum("bnkc,cq->bnkq", h, w[0], preferred_element_type=dt)
 
     # op 2: pool rows (segment = column/neighbor id), matmul pooled, re-broadcast
-    pooled_rows = neighbor_segment_mean(h, idx, band)            # (b, N, C)
+    pooled_rows = neighbor_segment_mean(h, idx, band, counts)    # (b, N, C)
     h2 = neighbor_gather(
         jnp.einsum("bnc,cq->bnq", pooled_rows, w[1], preferred_element_type=dt),
         idx, band)                                               # (b, N, K, q)
@@ -88,13 +92,14 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
     (jax.checkpoint): edge activations are (b, N, K, C) — at 64^3 cubes the
     memory saving is what makes training fit (SURVEY.md §7 hard parts)."""
     h = edges
+    counts = neighbor_counts(idx, band, edges.dtype)   # shared across layers
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
         fn = functools.partial(shift_inv_layer, is_last=is_last, band=band)
         if remat:
             fn = jax.checkpoint(fn)
-        h = fn(h, idx, layer_params)
+        h = fn(h, idx, layer_params, counts=counts)
         if not is_last:
             h = activation(h)
     return h

@@ -229,13 +229,23 @@ def _ns_bwd(band, idx, ct):
 neighbor_scatter_add.defvjp(_ns_fwd, _ns_bwd)
 
 
+def neighbor_counts(idx: jnp.ndarray, band: Optional[int] = None,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """In-degree of each particle in the kNN graph: (b, N, K) -> (b, N).
+
+    Depends only on idx — compute ONCE per step and reuse across layers
+    (and fwd/bwd: it is stop_gradient'ed)."""
+    ones = jnp.ones(idx.shape + (1,), dtype)
+    return jax.lax.stop_gradient(neighbor_scatter_add(ones, idx, band))[..., 0]
+
+
 def neighbor_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
-                          band: Optional[int] = None) -> jnp.ndarray:
+                          band: Optional[int] = None,
+                          counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched mean of edge values grouped by neighbor id: (b,N,K,C)->(b,N,C).
 
-    tf.unsorted_segment_mean semantics (empty targets -> 0); counts are a
-    by-product scatter of ones (not differentiated — idx is integer)."""
+    tf.unsorted_segment_mean semantics (empty targets -> 0).  Pass
+    precomputed `counts` (neighbor_counts) to avoid re-scattering ones."""
     sums = neighbor_scatter_add(vals, idx, band)
-    ones = jnp.ones(idx.shape + (1,), vals.dtype)
-    cnt = jax.lax.stop_gradient(neighbor_scatter_add(ones, idx, band))[..., 0]
+    cnt = counts if counts is not None else neighbor_counts(idx, band, vals.dtype)
     return sums / jnp.maximum(cnt, 1.0)[..., None]
