@@ -82,21 +82,29 @@ def _pad_values(values: jnp.ndarray, half: int, pad_len: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
-def _dot(a, b):
+# fast=True: operands cast to bf16 -> ONE MXU pass.  The one-hot side is
+# exact either way ({0,1} are bf16-representable); fast mode rounds the
+# VALUES to bf16 (~1e-2 relative) — the right trade for training on this
+# chip, where f32 dots run 6 passes (PERF.md).  fast=False keeps exact f32.
+def _dot(a, b, fast=True):
+    if fast:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _gather_kernel(p_ref, vpad_ref, out_ref, *, r, chunks, c):
+def _gather_kernel(p_ref, vpad_ref, out_ref, *, r, chunks, c, fast):
     et = p_ref.shape[-1]
     p = p_ref[0, 0, 0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (et, _S), 1)
     t0 = pl.program_id(1) * r
 
     def body(jc, acc):
-        oh = (p[:, None] == lane + jc * _S).astype(jnp.float32)
+        oh = (p[:, None] == lane + jc * _S).astype(jnp.bfloat16 if fast
+                                                   else jnp.float32)
         chunk = vpad_ref[0, pl.ds(t0 + jc * _S, _S), :]
-        return acc + _dot(oh, chunk)
+        return acc + _dot(oh, chunk, fast)
 
     out_ref[0, 0] = jax.lax.fori_loop(
         0, chunks, body, jnp.zeros((et, c), jnp.float32))
@@ -104,7 +112,8 @@ def _gather_kernel(p_ref, vpad_ref, out_ref, *, r, chunks, c):
 
 def banded_gather_pallas(values: jnp.ndarray, idx: jnp.ndarray,
                          band: Optional[int] = None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         fast: bool = True) -> jnp.ndarray:
     """values (B, N, C), idx (B, N, K) -> (B, N, K, C) = values[idx]."""
     b, n, c = values.shape
     k = idx.shape[-1]
@@ -113,10 +122,11 @@ def banded_gather_pallas(values: jnp.ndarray, idx: jnp.ndarray,
     num_tiles = n // r
 
     p = _slab_positions(idx, n, r, half)
-    vpad = _pad_values(values.astype(jnp.float32), half, pad_len)
+    vpad = _pad_values(values.astype(
+        jnp.bfloat16 if fast else jnp.float32), half, pad_len)
 
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, r=r, chunks=chunks, c=c),
+        functools.partial(_gather_kernel, r=r, chunks=chunks, c=c, fast=fast),
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, 1, r * k), lambda bi, i: (bi, i, 0, 0),
@@ -134,7 +144,7 @@ def banded_gather_pallas(values: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(b, n, k, c).astype(values.dtype)
 
 
-def _scatter_kernel(p_ref, vals_ref, out_ref, *, r, chunks):
+def _scatter_kernel(p_ref, vals_ref, out_ref, *, r, chunks, fast):
     t0 = pl.program_id(1) * r
 
     @pl.when(pl.program_id(1) == 0)
@@ -147,8 +157,9 @@ def _scatter_kernel(p_ref, vals_ref, out_ref, *, r, chunks):
     lane = jax.lax.broadcasted_iota(jnp.int32, (et, _S), 1)
 
     def body(jc, _):
-        oh = (p[:, None] == lane + jc * _S).astype(jnp.float32)
-        contrib = _dot(oh.T, vals)
+        oh = (p[:, None] == lane + jc * _S).astype(jnp.bfloat16 if fast
+                                                   else jnp.float32)
+        contrib = _dot(oh.T, vals, fast)
         sl = pl.ds(t0 + jc * _S, _S)
         out_ref[0, sl, :] = out_ref[0, sl, :] + contrib
         return 0
@@ -158,7 +169,8 @@ def _scatter_kernel(p_ref, vals_ref, out_ref, *, r, chunks):
 
 def banded_scatter_add_pallas(vals: jnp.ndarray, idx: jnp.ndarray,
                               band: Optional[int] = None,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              fast: bool = True) -> jnp.ndarray:
     """vals (B, N, K, C), idx (B, N, K) -> (B, N, C) summed by target id."""
     b, n, k, c = vals.shape
     r = _row_tile(n, k)
@@ -166,10 +178,11 @@ def banded_scatter_add_pallas(vals: jnp.ndarray, idx: jnp.ndarray,
     num_tiles = n // r
 
     p = _slab_positions(idx, n, r, half)
-    vt = vals.astype(jnp.float32).reshape(b, num_tiles, 1, r * k, c)
+    vt = vals.astype(jnp.bfloat16 if fast else jnp.float32).reshape(
+        b, num_tiles, 1, r * k, c)
 
     acc = pl.pallas_call(
-        functools.partial(_scatter_kernel, r=r, chunks=chunks),
+        functools.partial(_scatter_kernel, r=r, chunks=chunks, fast=fast),
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, 1, r * k), lambda bi, i: (bi, i, 0, 0),

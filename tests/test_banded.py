@@ -88,7 +88,7 @@ def _batched(seed=0, spread=40):
 def test_pallas_gather_interpret(band):
     v, idx, _ = _batched()
     out = np.asarray(banded_gather_pallas(jnp.asarray(v), jnp.asarray(idx),
-                                          band, interpret=True))
+                                          band, interpret=True, fast=False))
     for b in range(B):
         np.testing.assert_array_equal(out[b], v[b][idx[b]])
 
@@ -98,7 +98,8 @@ def test_pallas_scatter_interpret(band):
     _, idx, vals = _batched(1)
     out = np.asarray(banded_scatter_add_pallas(jnp.asarray(vals),
                                                jnp.asarray(idx),
-                                               band, interpret=True))
+                                               band, interpret=True,
+                                               fast=False))
     for b in range(B):
         ref = np.zeros((N, C), np.float32)
         np.add.at(ref, idx[b].reshape(-1), vals[b].reshape(-1, C))
@@ -108,8 +109,26 @@ def test_pallas_scatter_interpret(band):
 def test_pallas_matches_jnp_path():
     v, idx, vals = _batched(7)
     gp = np.asarray(banded_gather_pallas(jnp.asarray(v), jnp.asarray(idx),
-                                         128, interpret=True))
+                                         128, interpret=True, fast=False))
     gj = np.stack([np.asarray(banded_gather(jnp.asarray(v[b]),
                                             jnp.asarray(idx[b]), 128))
                    for b in range(B)])
     np.testing.assert_array_equal(gp, gj)
+
+
+
+def test_pallas_fast_mode_bf16_tolerance():
+    """fast=True rounds values to bf16: within ~1e-2 relative of exact."""
+    v, idx, vals = _batched(9)
+    g = np.asarray(banded_gather_pallas(jnp.asarray(v), jnp.asarray(idx),
+                                        128, interpret=True, fast=True))
+    for b in range(B):
+        ref = v[b][idx[b]]
+        np.testing.assert_allclose(g[b], ref, rtol=1e-2, atol=1e-2)
+    s = np.asarray(banded_scatter_add_pallas(jnp.asarray(vals),
+                                             jnp.asarray(idx), 128,
+                                             interpret=True, fast=True))
+    for b in range(B):
+        ref = np.zeros((N, C), np.float32)
+        np.add.at(ref, idx[b].reshape(-1), vals[b].reshape(-1, C))
+        np.testing.assert_allclose(s[b], ref, rtol=5e-2, atol=5e-2)
