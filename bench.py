@@ -66,9 +66,16 @@ def measure_tpu_graph_step() -> float:
     n = CELLS ** 3
     raw = synthetic_raw_cubes(num_samples=2 * BATCH, cells=CELLS, seed=0)
     x = features_from_raw(raw)
+    # bf16 compute, f32 params/optimizer — the standard TPU training setup
+    # (mixed precision via models.registry._mixed_precision)
+    # knn_window=2 is exact for this data class (ZA displacements < 1.5
+    # grid spacings; tested vs the exact O(N^2) search and verifiable at
+    # runtime with ops.knn.lattice_violations) and shrinks both the search
+    # and the gather/scatter band ~1.5x
     model = build_model(
         C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
-                      k_neighbors=K), box=4.0 * CELLS)
+                      k_neighbors=K, dtype="bfloat16", knn_window=2),
+        box=4.0 * CELLS)
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)
     scan_fn = make_train_scan(model, opt)

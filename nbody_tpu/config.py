@@ -117,6 +117,10 @@ class ModelConfig:
     # kNN search algorithm: "lattice" (cell-list rolls, fastest, exact for
     # grid-ordered cubes), "banded" (index slab), "exact" (O(N^2))
     knn_method: str = "lattice"
+    # lattice search window (grid cells): 3 is conservative; 2 is exact for
+    # displacements < ~1.5 grid spacings (true for ZA fields at these
+    # redshifts; verify with ops.knn.lattice_violations) and ~1.5x faster
+    knn_window: int = 3
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
 

@@ -43,7 +43,7 @@ def _resolve_band(cfg: C.ModelConfig, box: float):
     if cfg.band == "auto":
         from nbody_tpu.ops.banded import default_band
         # with the lattice kNN the offsets are bounded by construction
-        return default_band(int(round(box / 4.0)))
+        return default_band(int(round(box / 4.0)), window=cfg.knn_window)
     return cfg.band
 
 
@@ -60,7 +60,8 @@ def _make_knn(cfg: C.ModelConfig, box: float, band):
         # neighbor search is index selection: never on the AD path
         pos_norm = jax.lax.stop_gradient(jnp.mod(pos / box, 1.0))
         if cfg.knn_method == "lattice" and pos.shape[-2] == cells ** 3:
-            return knn_periodic_lattice_batch(pos_norm, k, cells=cells)
+            return knn_periodic_lattice_batch(pos_norm, k, cells=cells,
+                                              window=cfg.knn_window)
         if cfg.knn_method in ("lattice", "banded"):
             return knn_periodic_batch(pos_norm, k, band=band)
         return knn_periodic_batch(pos_norm, k)

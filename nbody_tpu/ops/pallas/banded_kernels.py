@@ -34,16 +34,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_S = 1024  # slab-chunk width (MXU contraction dim)
+_S = 2048  # slab-chunk width (MXU contraction dim)
 
 
 def _row_tile(n: int, k: int) -> int:
     """Prefer large row tiles: in-kernel loop iterations carry ~80 us of
     overhead on this platform (PERF.md), so fewer, bigger dots win."""
-    for r in (256, 128, 64, 32, 16, 8):
+    for r in (512, 256, 128, 64, 32, 16, 8):
         if n % r == 0 and (r * k) % 128 == 0:
             return r
-    for r in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+    for r in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if n % r == 0:
             return r
     return 1
