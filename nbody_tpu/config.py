@@ -123,6 +123,10 @@ class ModelConfig:
     knn_window: int = 3
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
+    # neighbor gather/scatter implementation on TPU: "banded" (index-slab
+    # one-hot matmuls — fastest at 32^3) or "block" (3D-block patches —
+    # constant-size patches, the scaling path for 64^3+; see PERF.md)
+    neighbor_impl: str = "banded"
 
     @property
     def num_layers(self) -> int:

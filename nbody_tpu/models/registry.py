@@ -134,6 +134,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         if channels[0] != 3:
             channels = list(C.GRAPH_CHANNELS)
         k = cfg.k_neighbors
+        cells = int(round(box / 4.0))
 
         band = _resolve_band(cfg, box)
 
@@ -145,12 +146,18 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
 
             knn = _make_knn(cfg, box, band)
 
+            lattice = ((cells, cfg.knn_window)
+                       if (cfg.knn_method == "lattice"
+                           and cfg.neighbor_impl == "block") else None)
+
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
                 idx = knn(pos)
+                lat = lattice if (lattice and
+                                  x_in.shape[-2] == cells ** 3) else None
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
-                    band=band, remat=cfg.remat)
+                    band=band, remat=cfg.remat, lattice=lat)
 
             return Model(init, apply, "shiftinv")
 

@@ -46,7 +46,8 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
                     layer_params: Dict[str, jnp.ndarray],
                     is_last: bool = False,
                     band: Optional[int] = None,
-                    counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    counts: Optional[jnp.ndarray] = None,
+                    lattice=None) -> jnp.ndarray:
     """One 4-op layer. h (b, N, K, C) edge features, idx (b, N, K) neighbor ids.
 
     counts: precomputed in-degrees (ops.banded.neighbor_counts) — shared by
@@ -70,12 +71,12 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     c_in, q = w.shape[1], w.shape[2]
     if q < c_in:
         hw = jnp.einsum("bnkc,cq->bnkq", h, w[1], preferred_element_type=dt)
-        pooled_rows = neighbor_segment_mean(hw, idx, band, counts)
-        h2 = neighbor_gather(pooled_rows, idx, band)             # (b, N, K, q)
+        pooled_rows = neighbor_segment_mean(hw, idx, band, counts, lattice)
+        h2 = neighbor_gather(pooled_rows, idx, band, lattice)    # (b, N, K, q)
     else:
-        pooled_rows = neighbor_segment_mean(h, idx, band, counts)
+        pooled_rows = neighbor_segment_mean(h, idx, band, counts, lattice)
         h2 = jnp.einsum("bnkc,cq->bnkq",
-                        neighbor_gather(pooled_rows, idx, band), w[1],
+                        neighbor_gather(pooled_rows, idx, band, lattice), w[1],
                         preferred_element_type=dt)
 
     # op 3: pool cols (segment = row id) == mean over K, broadcast over K
@@ -97,18 +98,20 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
 def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                      idx: jnp.ndarray, activation=jax.nn.relu,
                      band: Optional[int] = None,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat: bool = False,
+                     lattice=None) -> jnp.ndarray:
     """Layer stack (reference network_func_shift_inv_za, graph.py:463-476).
 
     remat=True rematerializes each layer in the backward pass
     (jax.checkpoint): edge activations are (b, N, K, C) — at 64^3 cubes the
     memory saving is what makes training fit (SURVEY.md §7 hard parts)."""
     h = edges
-    counts = neighbor_counts(idx, band, edges.dtype)   # shared across layers
+    counts = neighbor_counts(idx, band, edges.dtype, lattice)  # shared
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
-        fn = functools.partial(shift_inv_layer, is_last=is_last, band=band)
+        fn = functools.partial(shift_inv_layer, is_last=is_last, band=band,
+                               lattice=lattice)
         if remat:
             fn = jax.checkpoint(fn)
         h = fn(h, idx, layer_params, counts=counts)
@@ -121,14 +124,17 @@ def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                    idx: jnp.ndarray, box: float,
                    activation=jax.nn.relu,
                    band: Optional[int] = None,
-                   remat: bool = False) -> jnp.ndarray:
+                   remat: bool = False,
+                   lattice=None) -> jnp.ndarray:
     """Full model: featurize + network (reference model_func_shift_inv_za).
 
     pos (b, N, 3) raw positions (grid + ZA), idx (b, N, K) with self at
-    slot 0, za_disp (b, N, 3).  Returns predicted residual (b, N, 3..q).
+    slot 0, za_disp (b, N, 3).  lattice=(cells, window) routes neighbor
+    access through the 3D-block kernels.  Returns (b, N, 3..q).
     """
-    edges = edge_features_za(pos, idx, za_disp, box, band)
-    return shiftinv_network(params, edges, idx, activation, band, remat)
+    edges = edge_features_za(pos, idx, za_disp, box, band, lattice)
+    return shiftinv_network(params, edges, idx, activation, band, remat,
+                            lattice)
 
 
 def init_shiftinv_vel_params(key: jax.Array, channels: Sequence[int],

@@ -171,8 +171,12 @@ def _use_pallas() -> bool:
     return _jax.default_backend() in ("tpu", "axon")
 
 
-def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
+def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band,
+                 lattice=None) -> jnp.ndarray:
     if _use_pallas():
+        if lattice is not None and values.shape[1] == lattice[0] ** 3:
+            from nbody_tpu.ops.blocked import block_gather
+            return block_gather(values, idx, lattice[0], lattice[1])
         from nbody_tpu.ops.pallas.banded_kernels import banded_gather_pallas
         return banded_gather_pallas(values, idx, band)
     # non-TPU backends: XLA's native gather is fast there — use it directly
@@ -180,8 +184,12 @@ def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
     return jax.vmap(lambda v, i: v[i])(values, idx)
 
 
-def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
+def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band,
+                  lattice=None) -> jnp.ndarray:
     if _use_pallas():
+        if lattice is not None and vals.shape[1] == lattice[0] ** 3:
+            from nbody_tpu.ops.blocked import block_scatter_add
+            return block_scatter_add(vals, idx, lattice[0], lattice[1])
         from nbody_tpu.ops.pallas.banded_kernels import banded_scatter_add_pallas
         return banded_scatter_add_pallas(vals, idx, band)
     n = vals.shape[1]
@@ -193,59 +201,67 @@ def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band) -> jnp.ndarray:
     return jax.vmap(one)(vals, idx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
-                    band: Optional[int] = None) -> jnp.ndarray:
-    """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C)."""
-    return _gather_impl(values, idx, band)
+                    band: Optional[int] = None,
+                    lattice=None) -> jnp.ndarray:
+    """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C).
+
+    lattice=(cells, window): idx comes from the lattice kNN — use the tight
+    3D-block kernels (ops/blocked.py) on TPU."""
+    return _gather_impl(values, idx, band, lattice)
 
 
-def _ng_fwd(values, idx, band):
-    return _gather_impl(values, idx, band), idx
+def _ng_fwd(values, idx, band, lattice):
+    return _gather_impl(values, idx, band, lattice), idx
 
 
-def _ng_bwd(band, idx, ct):
-    return _scatter_impl(ct, idx, band), None
+def _ng_bwd(band, lattice, idx, ct):
+    return _scatter_impl(ct, idx, band, lattice), None
 
 
 neighbor_gather.defvjp(_ng_fwd, _ng_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
-                         band: Optional[int] = None) -> jnp.ndarray:
+                         band: Optional[int] = None,
+                         lattice=None) -> jnp.ndarray:
     """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
-    return _scatter_impl(vals, idx, band)
+    return _scatter_impl(vals, idx, band, lattice)
 
 
-def _ns_fwd(vals, idx, band):
-    return _scatter_impl(vals, idx, band), idx
+def _ns_fwd(vals, idx, band, lattice):
+    return _scatter_impl(vals, idx, band, lattice), idx
 
 
-def _ns_bwd(band, idx, ct):
-    return _gather_impl(ct, idx, band), None
+def _ns_bwd(band, lattice, idx, ct):
+    return _gather_impl(ct, idx, band, lattice), None
 
 
 neighbor_scatter_add.defvjp(_ns_fwd, _ns_bwd)
 
 
 def neighbor_counts(idx: jnp.ndarray, band: Optional[int] = None,
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32, lattice=None) -> jnp.ndarray:
     """In-degree of each particle in the kNN graph: (b, N, K) -> (b, N).
 
     Depends only on idx — compute ONCE per step and reuse across layers
     (and fwd/bwd: it is stop_gradient'ed)."""
     ones = jnp.ones(idx.shape + (1,), dtype)
-    return jax.lax.stop_gradient(neighbor_scatter_add(ones, idx, band))[..., 0]
+    return jax.lax.stop_gradient(
+        neighbor_scatter_add(ones, idx, band, lattice))[..., 0]
 
 
 def neighbor_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
                           band: Optional[int] = None,
-                          counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                          counts: Optional[jnp.ndarray] = None,
+                          lattice=None) -> jnp.ndarray:
     """Batched mean of edge values grouped by neighbor id: (b,N,K,C)->(b,N,C).
 
     tf.unsorted_segment_mean semantics (empty targets -> 0).  Pass
     precomputed `counts` (neighbor_counts) to avoid re-scattering ones."""
-    sums = neighbor_scatter_add(vals, idx, band)
-    cnt = counts if counts is not None else neighbor_counts(idx, band, vals.dtype)
+    sums = neighbor_scatter_add(vals, idx, band, lattice)
+    cnt = counts if counts is not None else neighbor_counts(
+        idx, band, vals.dtype, lattice)
     return sums / jnp.maximum(cnt, 1.0)[..., None]

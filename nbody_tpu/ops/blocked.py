@@ -1,0 +1,192 @@
+"""3D-block gather/scatter: the tight tiling for lattice kNN graphs.
+
+The banded ops (ops/banded.py) tile particles by flat index, so each row
+tile must consider a slab of R + band candidates (band ~ 2*w*(c^2+c+1) —
+thousands of rows) even though a lattice-kNN neighbor can only be one of
+(2w+1)^3 offsets.  Tiling by 3D BLOCK removes that 1D artifact: all
+neighbors of a (bx, by, bz) core block of particles originate inside its
+dilated block of (bx+2w)(by+2w)(bz+2w) lattice sites — e.g. 8*8*12 = 768
+for the default (4,4,8) core at window 2, vs a 4352-wide index band.
+
+Pipeline (all static-shape, gather-free XLA except one tiny Pallas dot):
+  cube_to_blocks / blocks_to_cube : pure reshapes+transposes between the
+      z-major flat ordering and block-major ordering;
+  block_patches : dilated blocks extracted from the circularly padded cube
+      with per-axis STRIDED slices (ex+ey+ez ~ 28 ops, no gathers);
+  block positions : each edge's neighbor as a flat offset into its core
+      block's dilated patch (elementwise coordinate arithmetic);
+  Pallas kernel : one (R*K, P) one-hot  x  (P, C) dot per block — no
+      in-kernel loops at all (ops/pallas/block_kernels.py);
+  scatter fold : the transpose — per-block (P, C) accumulations overlap-add
+      back into the padded cube with strided slice-adds, then the circular
+      pad rings fold in (6 static adds).
+
+Requires N == cells^3 in grid order and |offset| <= window per coordinate —
+exactly what ops/knn.knn_periodic_lattice guarantees by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# core block shape (particles per block tile): R = 4*4*8 = 128 rows,
+# chosen so R*K is lane-friendly for K=14 (1792 = 14*128)
+CORE = (4, 4, 8)
+
+
+def block_geometry(cells: int, window: int):
+    bx, by, bz = CORE
+    assert cells % bx == 0 and cells % by == 0 and cells % bz == 0
+    nb = (cells // bx, cells // by, cells // bz)
+    ext = (bx + 2 * window, by + 2 * window, bz + 2 * window)
+    return nb, ext
+
+
+def cube_to_blocks(values: jnp.ndarray, cells: int) -> jnp.ndarray:
+    """(B, N, C) z-major -> (B, NB, R, C) block-major. Pure reshape/transpose."""
+    b, n, c = values.shape
+    bx, by, bz = CORE
+    v = values.reshape(b, cells // bx, bx, cells // by, by, cells // bz, bz, c)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return v.reshape(b, -1, bx * by * bz, c)
+
+
+def blocks_to_cube(blocks: jnp.ndarray, cells: int) -> jnp.ndarray:
+    """(B, NB, R, C) block-major -> (B, N, C) z-major."""
+    b, nb, r, c = blocks.shape
+    bx, by, bz = CORE
+    v = blocks.reshape(b, cells // bx, cells // by, cells // bz, bx, by, bz, c)
+    v = v.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return v.reshape(b, cells ** 3, c)
+
+
+def _wrap_pad(grid: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B, c, c, c, C) -> circularly padded (B, c+2w, c+2w, c+2w, C)."""
+    return jnp.pad(grid, ((0, 0), (w, w), (w, w), (w, w), (0, 0)), mode="wrap")
+
+
+def block_patches(values: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+    """(B, N, C) -> (B, NB, P, C): each core block's dilated patch.
+
+    Built with per-axis strided slices of the padded cube (ex+ey+ez ops)."""
+    b, n, c = values.shape
+    bx, by, bz = CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    padded = _wrap_pad(values.reshape(b, cells, cells, cells, c), window)
+
+    # axis by axis: gather all window-extent offsets with stride = core size
+    px = jnp.stack([padded[:, lx:lx + nbx * bx:bx] for lx in range(ex)], axis=2)
+    # (B, nbx, ex, c+2w, c+2w, C)
+    py = jnp.stack([px[:, :, :, ly:ly + nby * by:by] for ly in range(ey)], axis=4)
+    # (B, nbx, ex, nby, ey, c+2w, C)
+    pz = jnp.stack([py[:, :, :, :, :, lz:lz + nbz * bz:bz] for lz in range(ez)],
+                   axis=6)
+    # (B, nbx, ex, nby, ey, nbz, ez, C)
+    pz = pz.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return pz.reshape(b, nbx * nby * nbz, ex * ey * ez, c)
+
+
+def patches_fold(acc: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+    """(B, NB, P, C) per-block accumulations -> (B, N, C) summed cube.
+
+    Exact transpose of block_patches: strided slice-adds into the padded
+    cube, then circular fold of the pad rings."""
+    b, nb, p, c = acc.shape
+    bx, by, bz = CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    w = window
+    a = acc.reshape(b, nbx, nby, nbz, ex, ey, ez, c)
+    a = a.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (B, nbx, ex, nby, ey, nbz, ez, C)
+
+    pc = cells + 2 * w
+    # inverse of the strided extraction, SEPARABLY per axis (ex+ey+ez ops,
+    # not ex*ey*ez): fold z, then y, then x
+    # a: (B, nbx, ex, nby, ey, nbz, ez, C)
+    az = jnp.zeros((b, nbx, ex, nby, ey, pc, c), acc.dtype)
+    for lz in range(ez):
+        az = az.at[..., lz:lz + nbz * bz:bz, :].add(a[..., lz, :])
+    ay = jnp.zeros((b, nbx, ex, pc, pc, c), acc.dtype)
+    for ly in range(ey):
+        ay = ay.at[..., ly:ly + nby * by:by, :, :].add(az[..., ly, :, :])
+    out = jnp.zeros((b, pc, pc, pc, c), acc.dtype)
+    for lx in range(ex):
+        out = out.at[:, lx:lx + nbx * bx:bx].add(ay[:, :, lx])
+    # fold the circular pad rings back: padded coords [0, w) belong to
+    # global [n-w, n), and [w+n, n+2w) to [0, w)
+    for axis in (1, 2, 3):
+        core = jax.lax.slice_in_dim(out, w, w + cells, axis=axis)
+        head = jax.lax.slice_in_dim(out, 0, w, axis=axis)
+        tail = jax.lax.slice_in_dim(out, w + cells, 2 * w + cells, axis=axis)
+        sel_hi = [slice(None)] * core.ndim
+        sel_hi[axis] = slice(cells - w, cells)
+        core = core.at[tuple(sel_hi)].add(head)
+        sel_lo = [slice(None)] * core.ndim
+        sel_lo[axis] = slice(0, w)
+        core = core.at[tuple(sel_lo)].add(tail)
+        out = core
+    return out.reshape(b, cells ** 3, c)
+
+
+def edge_block_positions(idx: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+    """(B, N, K) neighbor ids -> (B, NB, R*K) flat positions within each core
+    block's dilated patch (block-major edge order)."""
+    b, n, k = idx.shape
+    bx, by, bz = CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    w = window
+
+    ii = jnp.arange(n, dtype=jnp.int32)
+    x = ii // (cells * cells)
+    y = (ii // cells) % cells
+    z = ii % cells
+    nx = idx // (cells * cells)
+    ny = (idx // cells) % cells
+    nz = idx % cells
+
+    def wrapd(a, b_):
+        return jnp.mod(a - b_ + cells // 2, cells) - cells // 2
+
+    dx = wrapd(nx, x[None, :, None])
+    dy = wrapd(ny, y[None, :, None])
+    dz = wrapd(nz, z[None, :, None])
+    lx = (x % bx)[None, :, None] + w + dx
+    ly = (y % by)[None, :, None] + w + dy
+    lz = (z % bz)[None, :, None] + w + dz
+    p = (lx * ey + ly) * ez + lz                     # (B, N, K)
+    # reorder particles to block-major and flatten edges per block
+    p_blocks = cube_to_blocks(p.astype(jnp.int32), cells)   # (B, NB, R, K)
+    return p_blocks.reshape(b, -1, bx * by * bz * k)
+
+
+def block_gather(values: jnp.ndarray, idx: jnp.ndarray, cells: int,
+                 window: int, fast: bool = True,
+                 interpret: bool = False) -> jnp.ndarray:
+    """values (B, N, C), idx (B, N, K) lattice-kNN ids -> (B, N, K, C)."""
+    from nbody_tpu.ops.pallas.block_kernels import block_gather_pallas
+    b, n, c = values.shape
+    k = idx.shape[-1]
+    patches = block_patches(values, cells, window)
+    p = edge_block_positions(idx, cells, window)
+    out = block_gather_pallas(p, patches, fast=fast, interpret=interpret)
+    bx, by, bz = CORE
+    out = out.reshape(b, -1, bx * by * bz, k * c)
+    return blocks_to_cube(out, cells).reshape(b, n, k, c)
+
+
+def block_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray, cells: int,
+                      window: int, fast: bool = True,
+                      interpret: bool = False) -> jnp.ndarray:
+    """vals (B, N, K, C), idx (B, N, K) -> (B, N, C) summed by target id."""
+    from nbody_tpu.ops.pallas.block_kernels import block_scatter_pallas
+    b, n, k, c = vals.shape
+    bx, by, bz = CORE
+    p = edge_block_positions(idx, cells, window)
+    v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells)
+    v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
+    acc = block_scatter_pallas(p, v_blocks, block_geometry(cells, window)[1],
+                               fast=fast, interpret=interpret)
+    return patches_fold(acc, cells, window)

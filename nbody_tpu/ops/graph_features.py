@@ -28,13 +28,14 @@ from nbody_tpu.physics.pbc import min_image_diff
 
 
 def edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray, za_disp: jnp.ndarray,
-                     box: float, band: Optional[int] = None) -> jnp.ndarray:
+                     box: float, band: Optional[int] = None,
+                     lattice=None) -> jnp.ndarray:
     """Edges = neighbor relative positions, ZA displacement on the self-edge.
 
     pos (b, N, 3) raw positions; idx (b, N, K) with idx[..., 0] == self;
     za_disp (b, N, 3).  Returns (b, N, K, 3).
     """
-    nbr = neighbor_gather(pos, idx, band)
+    nbr = neighbor_gather(pos, idx, band, lattice)
     edges = min_image_diff(nbr, pos[:, :, None, :], box)
     # self-edge (slot 0) carries the ZA displacement (graph.py:338-343)
     return edges.at[:, :, 0, :].set(za_disp)

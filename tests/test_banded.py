@@ -132,3 +132,35 @@ def test_pallas_fast_mode_bf16_tolerance():
         ref = np.zeros((N, C), np.float32)
         np.add.at(ref, idx[b].reshape(-1), vals[b].reshape(-1, C))
         np.testing.assert_allclose(s[b], ref, rtol=5e-2, atol=5e-2)
+
+
+def test_block_ops_match_gather_semantics():
+    """3D-block gather/scatter (interpret mode) == direct indexing on a
+    lattice-kNN graph."""
+    import jax
+    from nbody_tpu.ops.blocked import block_gather, block_scatter_add
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch, positions_from_inputs
+
+    cells, W, K2, C2, B2 = 8, 2, 6, 5, 2
+    n = cells ** 3
+    rng = np.random.default_rng(3)
+    raw = synthetic_raw_cubes(num_samples=B2, cells=cells, seed=7)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=4.0 * cells))
+    idx = knn_periodic_lattice_batch(pos, K2, cells=cells, window=W)
+    v = jnp.asarray(rng.normal(size=(B2, n, C2)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(B2, n, K2, C2)).astype(np.float32))
+
+    g = np.asarray(block_gather(v, idx, cells, W, fast=False, interpret=True))
+    for b in range(B2):
+        np.testing.assert_array_equal(g[b], np.asarray(v)[b][np.asarray(idx)[b]])
+
+    s = np.asarray(block_scatter_add(vals, idx, cells, W, fast=False,
+                                     interpret=True))
+    for b in range(B2):
+        ref = np.zeros((n, C2), np.float32)
+        np.add.at(ref, np.asarray(idx)[b].reshape(-1),
+                  np.asarray(vals)[b].reshape(-1, C2))
+        np.testing.assert_allclose(s[b], ref, atol=1e-4)
