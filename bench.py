@@ -74,7 +74,8 @@ def measure_tpu_graph_step() -> float:
     # and the gather/scatter band ~1.5x
     model = build_model(
         C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
-                      k_neighbors=K, dtype="bfloat16", knn_window=2),
+                      k_neighbors=K, dtype="bfloat16", knn_window=2,
+                      neighbor_impl="block"),
         box=4.0 * CELLS)
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)

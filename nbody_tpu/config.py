@@ -123,10 +123,13 @@ class ModelConfig:
     knn_window: int = 3
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
-    # neighbor gather/scatter implementation on TPU: "banded" (index-slab
-    # one-hot matmuls — fastest at 32^3) or "block" (3D-block patches —
-    # constant-size patches, the scaling path for 64^3+; see PERF.md)
-    neighbor_impl: str = "banded"
+    # neighbor gather/scatter implementation on TPU: "block" (3D-block
+    # patches — wrap-correct by construction, fastest measured, constant
+    # patch size so it also scales to 64^3+) or "banded" (flat index-slab
+    # one-hot matmuls).  "block" requires lattice kNN on a full cube and is
+    # currently plumbed for the shiftinv family; other graph families use
+    # the banded path.  See PERF.md.
+    neighbor_impl: str = "block"
 
     @property
     def num_layers(self) -> int:

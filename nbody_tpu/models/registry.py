@@ -62,8 +62,10 @@ def _make_knn(cfg: C.ModelConfig, box: float, band):
         if cfg.knn_method == "lattice" and pos.shape[-2] == cells ** 3:
             return knn_periodic_lattice_batch(pos_norm, k, cells=cells,
                                               window=cfg.knn_window)
-        if cfg.knn_method in ("lattice", "banded"):
+        if cfg.knn_method == "banded":
             return knn_periodic_batch(pos_norm, k, band=band)
+        # "lattice" on non-cube data, or "exact": the index-band assumption
+        # is unjustified for arbitrary point sets — search exactly
         return knn_periodic_batch(pos_norm, k)
 
     return knn
@@ -112,7 +114,6 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         from nbody_tpu.models import shiftinv
         if channels[0] != 9:
             channels = list(C.GRAPH_VEL_CHANNELS)
-        k = cfg.k_neighbors
         band = _resolve_band(cfg, box)
 
         def init(key):
@@ -133,9 +134,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
     if cfg.family in ("shiftinv", "shiftinv15"):
         if channels[0] != 3:
             channels = list(C.GRAPH_CHANNELS)
-        k = cfg.k_neighbors
         cells = int(round(box / 4.0))
-
         band = _resolve_band(cfg, box)
 
         if cfg.family == "shiftinv":

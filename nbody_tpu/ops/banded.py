@@ -35,12 +35,15 @@ import jax.numpy as jnp
 
 
 def default_band(cells: int, window: int = 3) -> int:
-    """Index band for a cells^3 cube searched with a +-window lattice kNN:
-    selected offsets satisfy |d_index| <= window*(c^2 + c + 1) BY
-    CONSTRUCTION (ops/knn.knn_periodic_lattice), so the band is exact, not
-    heuristic."""
+    """Index band covering every flat offset a +-window lattice-kNN
+    neighbor can have.  The x offset folds circularly in flat index space
+    (+-window*c^2 after the mod-N wrap), but a WRAPPED y or z coordinate
+    does not: dy=-1 at y=0 lands at y=c-1, a flat offset of +(c-1)*c.
+    Worst case |rel| = window*c^2 + (c-1)*c + (c-1) < (window+1)*c^2,
+    so band = 2*(window+1)*c^2 is exact (a first version used
+    2*w*(c^2+c+1) and silently dropped cross-boundary edges)."""
     n = cells ** 3
-    return min(n, _round_up(2 * window * (cells * cells + cells + 1), 256))
+    return min(n, _round_up(2 * (window + 1) * cells * cells, 256))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -150,11 +153,12 @@ def banded_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
 
 def band_violations(idx: jnp.ndarray, band: int) -> jnp.ndarray:
     """Count neighbor links outside the circular band (diagnostic; a correct
-    band has zero).  idx (..., N, K)."""
+    band has zero).  idx (..., N, K).  rel in [-band//2, band//2] is in
+    band, matching what the gather/scatter slabs actually cover."""
     n = idx.shape[-2]
     rows = jnp.arange(n, dtype=jnp.int32)[:, None]
     rel = jnp.mod(idx - rows + n // 2, n) - n // 2
-    return jnp.sum((rel < -(band // 2)) | (rel >= band // 2 + (band - 2 * (band // 2))))
+    return jnp.sum((rel < -(band // 2)) | (rel > band // 2))
 
 
 # ---------------------------------------------------------------------------

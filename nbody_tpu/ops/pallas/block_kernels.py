@@ -19,13 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _dot(a, b, fast):
-    if fast:
-        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+# shared precision policy for all one-hot MXU dots
+from nbody_tpu.ops.pallas.banded_kernels import _dot
 
 
 def _gather_kernel(p_ref, patch_ref, out_ref, *, fast):

@@ -160,7 +160,9 @@ class Trainer:
         tcfg = self.cfg.train
         num_iters = num_iters if num_iters is not None else tcfg.num_iters
         key = key if key is not None else jax.random.PRNGKey(self.cfg.data.seed)
-        scan_fn = make_train_scan(self.model, self.optimizer)
+        if not hasattr(self, "_scan_fn"):
+            self._scan_fn = make_train_scan(self.model, self.optimizer)
+        scan_fn = self._scan_fn
         last_loss = float("nan")
         t0 = time.time()
         done = 0

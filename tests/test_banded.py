@@ -164,3 +164,27 @@ def test_block_ops_match_gather_semantics():
         np.add.at(ref, np.asarray(idx)[b].reshape(-1),
                   np.asarray(vals)[b].reshape(-1, C2))
         np.testing.assert_allclose(s[b], ref, atol=1e-4)
+
+
+def test_default_band_covers_coordinate_wrap():
+    """Regression (review finding): a wrapped y/z coordinate produces flat
+    offsets up to (window+1)*c^2 - 1; the default band must cover them and
+    band_violations must report zero for any lattice-kNN graph."""
+    import jax
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch, positions_from_inputs
+
+    cells, w = 8, 2
+    # large displacements force boundary wraps
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=17, za_rms=1.5)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=4.0 * cells))
+    idx = knn_periodic_lattice_batch(pos, 8, cells=cells, window=w)
+    band = default_band(cells, window=w)
+    assert int(band_violations(idx, band)) == 0
+    # and the gather at that band is exact
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(cells ** 3, 4)).astype(np.float32)
+    g = np.asarray(banded_gather(jnp.asarray(v), idx[0], band))
+    np.testing.assert_array_equal(g, v[np.asarray(idx[0])])
