@@ -32,9 +32,9 @@ COL_FPM_VEL = slice(16, 19)
 
 # Redshift vocabulary: 20 snapshots, z = 9.0 -> 0.0
 # (reference visualization/plot_eval.py:19-21)
-REDSHIFTS = [9.0000, 7.6923, 6.6667, 5.8824, 5.2632, 4.7619, 4.3478, 4.0000,
-             3.7037, 3.4483, 3.2258, 3.0303, 2.8571, 2.7027, 2.5641, 2.4390,
-             2.3256, 2.2222, 2.1277, 2.0408]
+REDSHIFTS = [9.0000, 4.7897, 3.2985, 2.4950, 1.9792, 1.6141, 1.3385,
+             1.1212, 0.9438, 0.7955, 0.6688, 0.5588, 0.4620, 0.3758,
+             0.2983, 0.2280, 0.1639, 0.1049, 0.0505, 0.0000]
 
 # ---------------------------------------------------------------------------
 # Model constants (reference utils.py:156-202)

@@ -47,6 +47,20 @@ def _resolve_band(cfg: C.ModelConfig, box: float):
     return cfg.band
 
 
+def _effective_band(cfg: C.ModelConfig, band, n: int, cells: int):
+    """The index-band assumption only holds when the search that produced
+    idx guarantees it: the lattice search on a full cells^3 cube, or an
+    explicitly banded search.  'exact' mode (and the lattice fallback on
+    non-cube N) can return edges anywhere — band must be None there, or the
+    banded gather/scatter would silently zero/drop out-of-band edges (the
+    very case exact mode exists for)."""
+    if cfg.knn_method == "banded":
+        return band
+    if cfg.knn_method == "lattice" and n == cells ** 3:
+        return band
+    return None
+
+
 def _make_knn(cfg: C.ModelConfig, box: float, band):
     """kNN builder for graph models: positions (b, N, 3) raw -> idx (b, N, K).
 
@@ -114,20 +128,28 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         from nbody_tpu.models import shiftinv
         if channels[0] != 9:
             channels = list(C.GRAPH_VEL_CHANNELS)
+        cells = int(round(box / 4.0))
         band = _resolve_band(cfg, box)
 
         def init(key):
             return shiftinv.init_shiftinv_vel_params(key, channels, jnp.float32)
 
         knn = _make_knn(cfg, box, band)
+        lattice = ((cells, cfg.knn_window)
+                   if (cfg.knn_method == "lattice"
+                       and cfg.neighbor_impl == "block") else None)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             vel = x_in[..., 6:9]
             idx = knn(pos)
+            n = x_in.shape[-2]
+            lat = lattice if (lattice and n == cells ** 3) else None
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
-                vel.astype(dtype), idx, box, band=band, remat=cfg.remat)
+                vel.astype(dtype), idx, box,
+                band=_effective_band(cfg, band, n, cells),
+                remat=cfg.remat, lattice=lat)
 
         return Model(init, apply, "shiftinv_vel")
 
@@ -152,11 +174,12 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
                 idx = knn(pos)
-                lat = lattice if (lattice and
-                                  x_in.shape[-2] == cells ** 3) else None
+                n = x_in.shape[-2]
+                lat = lattice if (lattice and n == cells ** 3) else None
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
-                    band=band, remat=cfg.remat, lattice=lat)
+                    band=_effective_band(cfg, band, n, cells),
+                    remat=cfg.remat, lattice=lat)
 
             return Model(init, apply, "shiftinv")
 
@@ -172,7 +195,8 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
-                band=band, remat=cfg.remat)
+                band=_effective_band(cfg, band, x_in.shape[-2], cells),
+                remat=cfg.remat)
 
         return Model(init, apply, "shiftinv15")
 

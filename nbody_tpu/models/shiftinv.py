@@ -153,7 +153,8 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                        vel: jnp.ndarray, idx: jnp.ndarray, box: float,
                        activation=jax.nn.relu,
                        band: Optional[int] = None,
-                       remat: bool = False) -> jnp.ndarray:
+                       remat: bool = False,
+                       lattice=None) -> jnp.ndarray:
     """Velocity-aware graph model (the reference's commented
     _model_func_shift_inv, graph.py:517-567, made real).
 
@@ -164,9 +165,9 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     """
     from nbody_tpu.ops.graph_features import edge_features_with_nodes
     edges = edge_features_with_nodes(pos, idx, vel, box, band,
-                                     za_disp=za_disp)                 # (b,N,K,9)
+                                     za_disp=za_disp, lattice=lattice)  # (b,N,K,9)
     net = shiftinv_network(params["layers"], edges, idx, activation, band,
-                           remat)
+                           remat, lattice)
     t = params["T"]
     scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],
                              jnp.full((net.shape[-1] - 3,), 1.0, net.dtype) * t[1]])

@@ -66,8 +66,10 @@ def build_block_sym_graph(idx: jnp.ndarray,
     b, n, k = idx.shape
     particles = jnp.arange(n, dtype=jnp.int32)
     # nbr_nbrs[b,n,k,j] = idx[b, idx[b,n,k], j], via the banded MXU gather
-    # (rows of idx are K ints; gather them as a K-channel field)
-    nbr_nbrs = neighbor_gather(idx.astype(jnp.float32), idx, band)
+    # (rows of idx are K ints; gather them as a K-channel field).
+    # exact=True is load-bearing: ids exceed 256 at 32^3, so the default
+    # bf16 fast path would round them and corrupt the symmetrized graph.
+    nbr_nbrs = neighbor_gather(idx.astype(jnp.float32), idx, band, exact=True)
     nbr_nbrs = jnp.round(nbr_nbrs).astype(jnp.int32)          # (b, N, K, K)
     hit = nbr_nbrs == particles[None, :, None, None]
     rev_exists = jnp.any(hit, axis=-1)
@@ -89,7 +91,8 @@ def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
     self-edge (reference graph.py:289-343); block B: negated relative
     positions (the reversed edge's feature), masked.
     """
-    nbr = neighbor_gather(pos, graph.idx, band)
+    from nbody_tpu.ops.graph_features import neighbor_positions
+    nbr = neighbor_positions(pos, graph.idx, box, band)
     edges = min_image_diff(nbr, pos[:, :, None, :], box)
     ea = edges.at[:, :, 0, :].set(za_disp)
     eb = (-edges) * graph.mask_b[..., None]

@@ -175,27 +175,40 @@ def _use_pallas() -> bool:
     return _jax.default_backend() in ("tpu", "axon")
 
 
+def _block_ok(n: int, lattice) -> bool:
+    """The 3D-block kernels require a full cells^3 cube whose side the CORE
+    block tiles evenly; anything else falls back to the banded path instead
+    of tripping block_geometry's assert."""
+    if lattice is None:
+        return False
+    from nbody_tpu.ops.blocked import CORE
+    cells = lattice[0]
+    return n == cells ** 3 and all(cells % d == 0 for d in CORE)
+
+
 def _gather_impl(values: jnp.ndarray, idx: jnp.ndarray, band,
-                 lattice=None) -> jnp.ndarray:
+                 lattice=None, exact=False) -> jnp.ndarray:
     if _use_pallas():
-        if lattice is not None and values.shape[1] == lattice[0] ** 3:
+        if _block_ok(values.shape[1], lattice):
             from nbody_tpu.ops.blocked import block_gather
-            return block_gather(values, idx, lattice[0], lattice[1])
+            return block_gather(values, idx, lattice[0], lattice[1],
+                                fast=not exact)
         from nbody_tpu.ops.pallas.banded_kernels import banded_gather_pallas
-        return banded_gather_pallas(values, idx, band)
+        return banded_gather_pallas(values, idx, band, fast=not exact)
     # non-TPU backends: XLA's native gather is fast there — use it directly
     # (banded_gather stays as the semantics oracle for tests)
     return jax.vmap(lambda v, i: v[i])(values, idx)
 
 
 def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band,
-                  lattice=None) -> jnp.ndarray:
+                  lattice=None, exact=False) -> jnp.ndarray:
     if _use_pallas():
-        if lattice is not None and vals.shape[1] == lattice[0] ** 3:
+        if _block_ok(vals.shape[1], lattice):
             from nbody_tpu.ops.blocked import block_scatter_add
-            return block_scatter_add(vals, idx, lattice[0], lattice[1])
+            return block_scatter_add(vals, idx, lattice[0], lattice[1],
+                                     fast=not exact)
         from nbody_tpu.ops.pallas.banded_kernels import banded_scatter_add_pallas
-        return banded_scatter_add_pallas(vals, idx, band)
+        return banded_scatter_add_pallas(vals, idx, band, fast=not exact)
     n = vals.shape[1]
 
     def one(v, i):
@@ -205,42 +218,46 @@ def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band,
     return jax.vmap(one)(vals, idx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
                     band: Optional[int] = None,
-                    lattice=None) -> jnp.ndarray:
+                    lattice=None, exact: bool = False) -> jnp.ndarray:
     """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C).
 
     lattice=(cells, window): idx comes from the lattice kNN — use the tight
-    3D-block kernels (ops/blocked.py) on TPU."""
-    return _gather_impl(values, idx, band, lattice)
+    3D-block kernels (ops/blocked.py) on TPU.
+
+    exact=True keeps values in f32 through the kernels (6-pass MXU dots) —
+    REQUIRED for integer payloads (e.g. gathering neighbor-id rows), which
+    the default bf16 fast path would round above 256."""
+    return _gather_impl(values, idx, band, lattice, exact)
 
 
-def _ng_fwd(values, idx, band, lattice):
-    return _gather_impl(values, idx, band, lattice), idx
+def _ng_fwd(values, idx, band, lattice, exact):
+    return _gather_impl(values, idx, band, lattice, exact), idx
 
 
-def _ng_bwd(band, lattice, idx, ct):
-    return _scatter_impl(ct, idx, band, lattice), None
+def _ng_bwd(band, lattice, exact, idx, ct):
+    return _scatter_impl(ct, idx, band, lattice, exact), None
 
 
 neighbor_gather.defvjp(_ng_fwd, _ng_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
                          band: Optional[int] = None,
-                         lattice=None) -> jnp.ndarray:
+                         lattice=None, exact: bool = False) -> jnp.ndarray:
     """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
-    return _scatter_impl(vals, idx, band, lattice)
+    return _scatter_impl(vals, idx, band, lattice, exact)
 
 
-def _ns_fwd(vals, idx, band, lattice):
-    return _scatter_impl(vals, idx, band, lattice), idx
+def _ns_fwd(vals, idx, band, lattice, exact):
+    return _scatter_impl(vals, idx, band, lattice, exact), idx
 
 
-def _ns_bwd(band, lattice, idx, ct):
-    return _gather_impl(ct, idx, band, lattice), None
+def _ns_bwd(band, lattice, exact, idx, ct):
+    return _gather_impl(ct, idx, band, lattice, exact), None
 
 
 neighbor_scatter_add.defvjp(_ns_fwd, _ns_bwd)

@@ -1,0 +1,130 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md):
+
+1. Integer payloads through the TPU gather kernels must use the exact
+   (f32) path — the default bf16 fast path rounds ids above 256 and
+   silently corrupts the shiftinv15 symmetrized graph.
+2. Edge featurizers must not gather ABSOLUTE positions through the bf16
+   fast path (O(0.5)-unit position-dependent quantization); they gather
+   small min-image displacements and reconstruct neighbor positions from
+   elementwise lattice-site arithmetic instead.
+3. band='auto' must resolve to None (no structural assumption) when the
+   kNN search is exact or the lattice assumption fails.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu import config as C
+from nbody_tpu.models.registry import _effective_band
+from nbody_tpu.ops.graph_features import (lattice_site_positions,
+                                          neighbor_positions)
+from nbody_tpu.ops.pallas.banded_kernels import banded_gather_pallas
+from nbody_tpu.data.grid import grid_positions_np
+
+
+def test_exact_kernel_path_preserves_large_integer_ids():
+    """fast=False (the exact=True route of neighbor_gather) returns ids
+    beyond bf16's 256-integer range exactly; fast=True does not (the bug)."""
+    n, k = 4096, 6
+    rng = np.random.default_rng(0)
+    rel = rng.integers(-50, 50, (1, n, k))
+    idx = ((np.arange(n)[None, :, None] + rel) % n).astype(np.int32)
+    payload = jnp.asarray(idx, jnp.float32)  # gather the ids themselves
+
+    out_exact = np.asarray(banded_gather_pallas(
+        payload, jnp.asarray(idx), band=256, interpret=True, fast=False))
+    want = idx[0][idx[0]][None]  # (1, n, k, k)
+    np.testing.assert_array_equal(np.round(out_exact).astype(np.int64), want)
+
+    out_fast = np.asarray(banded_gather_pallas(
+        payload, jnp.asarray(idx), band=256, interpret=True, fast=True))
+    assert np.any(np.round(out_fast).astype(np.int64) != want), \
+        "bf16 fast path unexpectedly exact — test payload too small"
+
+
+def test_lattice_site_positions_match_grid():
+    cells, box = 8, 32.0
+    sites = grid_positions_np(cells, box)
+    got = np.asarray(lattice_site_positions(
+        jnp.arange(cells ** 3, dtype=jnp.int32), cells, box))
+    np.testing.assert_allclose(got, sites, atol=1e-6)
+
+
+def test_neighbor_positions_semantics_cube():
+    """neighbor_positions == pos[idx] (mod box) for grid-ordered cubes."""
+    cells, box = 8, 32.0
+    n, k = cells ** 3, 5
+    rng = np.random.default_rng(1)
+    pos = grid_positions_np(cells, box) + rng.normal(
+        0, 1.0, (n, 3)).astype(np.float32)
+    rel = rng.integers(-20, 20, (1, n, k))
+    idx = ((np.arange(n)[None, :, None] + rel) % n).astype(np.int32)
+    got = np.asarray(neighbor_positions(
+        jnp.asarray(pos)[None], jnp.asarray(idx), box))
+    want = pos[idx[0]][None]
+    # equal modulo the box (the reconstruction wraps displacements)
+    d = got - want
+    d -= box * np.round(d / box)
+    np.testing.assert_allclose(d, 0, atol=1e-4)
+
+
+def test_displacement_gather_beats_position_gather_in_bf16():
+    """The measured motivation for neighbor_positions: bf16-gathering
+    displacements (~1 unit) is far more accurate than bf16-gathering
+    absolute coordinates (~box units)."""
+    cells, box = 8, 128.0  # big box = big absolute coordinates
+    n, k = cells ** 3, 4
+    rng = np.random.default_rng(2)
+    sites = grid_positions_np(cells, box)
+    disp = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    pos = sites + disp
+    rel = rng.integers(-10, 10, (1, n, k))
+    idx = ((np.arange(n)[None, :, None] + rel) % n).astype(np.int32)
+    band = 512
+
+    abs_out = np.asarray(banded_gather_pallas(
+        jnp.asarray(pos)[None], jnp.asarray(idx), band, interpret=True,
+        fast=True))
+    disp_out = np.asarray(banded_gather_pallas(
+        jnp.asarray(disp)[None], jnp.asarray(idx), band, interpret=True,
+        fast=True))
+    err_abs = np.abs(abs_out - pos[idx[0]][None]).max()
+    err_disp = np.abs(disp_out - disp[idx[0]][None]).max()
+    assert err_disp * 10 < err_abs, (err_disp, err_abs)
+    assert err_disp < 2e-2
+
+
+def test_redshift_table_matches_reference():
+    """The 20-snapshot vocabulary z = 9.0 -> 0.0
+    (reference visualization/plot_eval.py:19-21)."""
+    want = [9.0000, 4.7897, 3.2985, 2.4950, 1.9792, 1.6141, 1.3385,
+            1.1212, 0.9438, 0.7955, 0.6688, 0.5588, 0.4620, 0.3758,
+            0.2983, 0.2280, 0.1639, 0.1049, 0.0505, 0.0000]
+    assert C.REDSHIFTS == want
+    assert len(C.REDSHIFTS) == 20
+    assert C.REDSHIFTS[-1] == 0.0
+
+
+def test_effective_band_none_for_exact_search():
+    cells = 8
+    cfg = C.ModelConfig(family="shiftinv", knn_method="exact")
+    assert _effective_band(cfg, 512, cells ** 3, cells) is None
+    cfg = C.ModelConfig(family="shiftinv", knn_method="lattice")
+    # lattice on a full cube keeps the band ...
+    assert _effective_band(cfg, 512, cells ** 3, cells) == 512
+    # ... but the non-cube fallback (exact search) must drop it
+    assert _effective_band(cfg, 512, 100, cells) is None
+    cfg = C.ModelConfig(family="shiftinv", knn_method="banded")
+    assert _effective_band(cfg, 512, 100, cells) == 512
+
+
+def test_block_dispatch_falls_back_on_indivisible_cells():
+    """cells not divisible by the CORE block must not trip an assert —
+    _block_ok routes to the banded path instead (ADVICE.md low)."""
+    from nbody_tpu.ops.banded import _block_ok
+    assert _block_ok(8 ** 3, (8, 2))
+    assert not _block_ok(12 ** 3, (12, 2))   # 12 % 8 != 0
+    assert not _block_ok(4 ** 3, (4, 2))     # 4 % 8 != 0
+    assert not _block_ok(100, (8, 2))        # not a full cube
+    assert not _block_ok(8 ** 3, None)
