@@ -50,6 +50,11 @@ def load_or_measure_baseline() -> dict:
     return data
 
 
+class CoverageError(RuntimeError):
+    """The configured kNN/band setup drops edges on the bench data —
+    refusing to report a throughput number for a corrupted graph."""
+
+
 def measure_tpu_graph_step() -> float:
     import jax
     from nbody_tpu.config import enable_compilation_cache
@@ -60,7 +65,7 @@ def measure_tpu_graph_step() -> float:
     from nbody_tpu import config as C
     from nbody_tpu.data.synthetic import synthetic_raw_cubes
     from nbody_tpu.data.dataset import features_from_raw
-    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.models.registry import build_model, coverage_violations
     from nbody_tpu.train.trainer import init_train_state, make_train_scan
 
     n = CELLS ** 3
@@ -72,11 +77,18 @@ def measure_tpu_graph_step() -> float:
     # grid spacings; tested vs the exact O(N^2) search and verifiable at
     # runtime with ops.knn.lattice_violations) and shrinks both the search
     # and the gather/scatter band ~1.5x
-    model = build_model(
-        C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
-                      k_neighbors=K, dtype="bfloat16", knn_window=2,
-                      neighbor_impl="block"),
-        box=4.0 * CELLS)
+    cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
+                        k_neighbors=K, dtype="bfloat16", knn_window=2,
+                        neighbor_impl="block")
+    # refuse to report a number when the graph is not provably covered —
+    # the guard against the silent edge-dropping class that forced the
+    # round-1 46.6x retraction (PERF.md)
+    v = coverage_violations(cfg, 4.0 * CELLS, x)
+    if v:
+        raise CoverageError(
+            f"COVERAGE_VIOLATIONS={v}: the window-2 lattice search cannot "
+            "represent this data's displacements; no number reported.")
+    model = build_model(cfg, box=4.0 * CELLS)
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)
     scan_fn = make_train_scan(model, opt)
@@ -111,6 +123,9 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
     for line in out.stdout.strip().splitlines():
         if line.startswith("PPS "):
             return float(line.split()[1])
+    if "COVERAGE_VIOLATIONS" in out.stderr:
+        # not retryable and not CPU-fallbackable: the graph itself is wrong
+        raise CoverageError(out.stderr[-400:])
     raise RuntimeError(f"bench subprocess failed: {out.stderr[-400:]}")
 
 
@@ -124,6 +139,9 @@ def main():
         try:
             pps = _measure_in_subprocess(timeout_s=540, force_cpu=False)
             break
+        except CoverageError as e:
+            print(f"# REFUSING to report: {e}", file=sys.stderr)
+            raise SystemExit(1)
         except (subprocess.TimeoutExpired, RuntimeError) as e:
             print(f"# TPU measurement attempt {attempt + 1} failed: "
                   f"{type(e).__name__}", file=sys.stderr)

@@ -18,7 +18,7 @@ import os
 import numpy as np
 
 from nbody_tpu import config as C
-from nbody_tpu.data.dataset import Dataset
+from nbody_tpu.data.dataset import make_dataset
 from nbody_tpu.io_.saver import Saver
 from nbody_tpu.train.trainer import Trainer
 
@@ -36,7 +36,7 @@ def main(argv=None) -> int:
 
     saver = Saver(cfg.data.data_idx, model_tag=cfg.train.name,
                   experiments_dir=cfg.train.experiments_dir)
-    dataset = Dataset(cfg.data)
+    dataset = make_dataset(cfg.data)
     trainer = Trainer(cfg, dataset=dataset, saver=saver)
     trainer.state = saver.restore_checkpoint(trainer.state)
     print(f"Restored checkpoint at step {int(trainer.state.step)}")

@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 from nbody_tpu import config as C
-from nbody_tpu.data.dataset import Dataset
+from nbody_tpu.data.dataset import make_dataset
 from nbody_tpu.io_.saver import Saver
 from nbody_tpu.train.trainer import Trainer
 
@@ -31,7 +31,7 @@ def main(argv=None) -> int:
 
     saver = Saver(cfg.data.data_idx, model_tag=cfg.train.name,
                   experiments_dir=cfg.train.experiments_dir)
-    dataset = Dataset(cfg.data)
+    dataset = make_dataset(cfg.data)
     trainer = Trainer(cfg, dataset=dataset, saver=saver)
 
     if cfg.train.restore:

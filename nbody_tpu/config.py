@@ -95,6 +95,10 @@ class DataConfig:
     include_velocity: bool = False
     # synthetic fallback when no ZA_*.npy on disk (this environment has none)
     synthetic_num_samples: int = NUM_SAMPLES
+    # stream train batches off disk via the native mmap loader
+    # (native/npy_loader.cc) with background prefetch, instead of loading
+    # the whole cube file into RAM
+    streaming: bool = False
 
     @property
     def num_particles(self) -> int:
@@ -189,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Force synthetic data even if real cubes exist")
     adg("--velocity", action="store_true",
         help="Joint position+velocity task (9 input, 6 target channels)")
+    adg("--streaming", action="store_true",
+        help="Stream train batches off disk via the native mmap loader "
+             "(background prefetch); requires a real ZA_*.npy file")
     adg("--cells", type=int, default=CELLS_PER_SIDE,
         help="Cube cells per side (particles = cells^3)")
     adg("-r", "--restore", action="store_true",
@@ -239,7 +246,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         data_idx=args.data_idx,
         num_test=args.num_test,
         cells_per_side=args.cells,
-        include_velocity=args.velocity)
+        include_velocity=args.velocity,
+        streaming=args.streaming)
     model = ModelConfig(
         family=family,
         channels=tuple(args.channels),

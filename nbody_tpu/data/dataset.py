@@ -182,6 +182,29 @@ class StreamingDataset:
             yield p, x[p:p + batch_size]
 
 
+def make_dataset(cfg: Optional[C.DataConfig] = None):
+    """Dataset factory: the CLI entry for `--streaming`.
+
+    streaming=True + a real cube file on disk -> StreamingDataset (native
+    mmap loader, background prefetch); otherwise the in-memory Dataset
+    (with a note when streaming was requested but cannot be honored).
+    """
+    cfg = cfg or C.DataConfig()
+    if cfg.streaming:
+        paths = sorted(glob.glob(os.path.join(cfg.data_dir, "*.npy")))
+        if paths and 0 <= cfg.data_idx < len(paths):
+            try:
+                return StreamingDataset(paths[cfg.data_idx], cfg)
+            except Exception as e:  # NativeLoaderUnavailable, bad header, ...
+                print(f"--streaming unavailable ({e}); "
+                      "falling back to the in-memory Dataset.")
+        else:
+            print("--streaming needs a real .npy cube file (synthetic data "
+                  "is generated in RAM); falling back to the in-memory "
+                  "Dataset.")
+    return Dataset(cfg)
+
+
 def split_batch(batch: jnp.ndarray,
                 num_inputs: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(b, N, 9|15) -> inputs [q-64, za(, za_vel)], target residual(s).

@@ -7,7 +7,8 @@ np.load-everything + per-step fancy-index host copies (utils.py:559-621).
 
 The shared library is auto-built with `make` on first use if g++ is
 available; callers should catch NativeLoaderUnavailable and fall back to
-numpy (Dataset does this transparently).
+numpy — `data.dataset.make_dataset` does exactly that when `--streaming`
+is requested but the library or a real cube file is missing.
 """
 
 from __future__ import annotations

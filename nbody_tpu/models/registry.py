@@ -85,6 +85,42 @@ def _make_knn(cfg: C.ModelConfig, box: float, band):
     return knn
 
 
+def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
+    """Count graph edges the configured neighbor pipeline could silently
+    drop for this batch (0 == the graph is provably covered).
+
+    The class of bug this guards: a too-small band or search window drops
+    a fraction of edges with no error anywhere (it cost a 46.6x -> 38.6x
+    headline retraction in round 1, PERF.md).  Checks per knn_method:
+      lattice — particles displaced beyond the search window's safe margin
+                (ops.knn.lattice_violations);
+      banded  — edges of the EXACT search outside the configured band
+                (ops.banded.band_violations; runs one O(N^2) search);
+      exact   — 0 by construction (band resolves to None).
+    Call once per dataset/run (trainer does, bench refuses to report
+    otherwise) — not per step.
+    """
+    if cfg.family in ("set", "attn"):
+        return 0
+    cells = int(round(box / 4.0))
+    band = _resolve_band(cfg, box)
+    pos, _ = _graph_geometry(jnp.asarray(x_in), box)
+    n = pos.shape[-2]
+    pos_norm = jnp.mod(pos / box, 1.0)
+    if cfg.knn_method == "lattice" and n == cells ** 3:
+        from nbody_tpu.ops.knn import lattice_violations
+        v = jax.vmap(lambda p: lattice_violations(
+            p, cells, 1.0, cfg.knn_window))(pos_norm)
+        return int(jax.device_get(jnp.sum(v)))
+    eff = _effective_band(cfg, band, n, cells)
+    if eff is None:
+        return 0
+    from nbody_tpu.ops.knn import knn_periodic_batch
+    from nbody_tpu.ops.banded import band_violations
+    idx = knn_periodic_batch(pos_norm, cfg.k_neighbors)
+    return int(jax.device_get(band_violations(idx, eff)))
+
+
 def _mixed_precision(model: Model, dtype) -> Model:
     """Proper mixed precision: parameters (and hence Adam moments) stay f32;
     the forward computes in `dtype` (bf16 on the MXU); predictions return

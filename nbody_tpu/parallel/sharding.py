@@ -63,12 +63,42 @@ def make_sharded_train_step(model: Model, optimizer: optax.GradientTransformatio
                    donate_argnums=(0,))
 
 
+def make_sharded_train_scan(model: Model,
+                            optimizer: optax.GradientTransformation,
+                            mesh: Mesh, loss_fn: Callable = loss_za):
+    """Sharded twin of trainer.make_train_scan: (state, batches (T, b, N, C),
+    num_inputs) -> (state', losses (T,)), with batches sharded
+    P(None, "data", "particle", None) and T steps per host dispatch."""
+    bs = NamedSharding(mesh, P(None, DATA_AXIS, PARTICLE_AXIS, None))
+    rep = replicate(mesh)
+
+    def one_step(state: TrainState, batch, num_inputs: int):
+        x_in, y_true = batch[..., :num_inputs], batch[..., num_inputs:]
+
+        def loss(params):
+            return loss_fn(model.apply(params, x_in), y_true)
+
+        loss_val, grads = jax.value_and_grad(loss)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss_val
+
+    def scan_steps(state: TrainState, batches, num_inputs: int):
+        return jax.lax.scan(
+            lambda s, b: one_step(s, b, num_inputs), state, batches)
+
+    return jax.jit(scan_steps, static_argnums=(2,),
+                   in_shardings=(rep, bs), out_shardings=(rep, rep),
+                   donate_argnums=(0,))
+
+
 def make_sharded_eval_step(model: Model, mesh: Mesh, loss_fn: Callable = loss_za):
     bs = batch_sharding(mesh)
     rep = replicate(mesh)
+    fwd = model.eval_fn
 
     def step(params, x_in, y_true):
-        pred = model.apply(params, x_in)
+        pred = fwd(params, x_in)
         return pred, loss_fn(pred, y_true)
 
     return jax.jit(step, in_shardings=(rep, bs, bs),

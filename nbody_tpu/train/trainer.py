@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from nbody_tpu import config as C
-from nbody_tpu.data.dataset import Dataset, split_batch
+from nbody_tpu.data.dataset import Dataset, make_dataset, split_batch
 from nbody_tpu.models.registry import Model, build_model
 from nbody_tpu.physics.losses import loss_za
 
@@ -105,21 +105,69 @@ class Trainer:
     def __init__(self, cfg: C.Config, dataset: Optional[Dataset] = None,
                  saver=None):
         self.cfg = cfg
-        self.dataset = dataset or Dataset(cfg.data)
+        self.dataset = dataset if dataset is not None else make_dataset(cfg.data)
         box = 4.0 * self.dataset.cells
         self.model = build_model(cfg.model, box=box)
         self.optimizer = optax.adam(cfg.train.learn_rate)
         self.state = init_train_state(self.model, self.optimizer, cfg.model.seed)
-        self.train_step = make_train_step(self.model, self.optimizer)
-        self.eval_step = make_eval_step(self.model)
+        tcfg = cfg.train
+        if tcfg.data_axis * tcfg.particle_axis > 1:
+            # sharded training over the (data, particle) ICI mesh —
+            # the CLI-reachable path for --data_axis/--particle_axis
+            from nbody_tpu.parallel.mesh import make_mesh
+            from nbody_tpu.parallel import sharding as S
+            if tcfg.batch_size % tcfg.data_axis:
+                raise ValueError(
+                    f"batch_size={tcfg.batch_size} must divide by "
+                    f"data_axis={tcfg.data_axis}")
+            if self.dataset.num_particles % tcfg.particle_axis:
+                raise ValueError(
+                    f"num_particles={self.dataset.num_particles} must divide "
+                    f"by particle_axis={tcfg.particle_axis}")
+            self.mesh = make_mesh(data=tcfg.data_axis,
+                                  particle=tcfg.particle_axis)
+            self.batch_sharding = S.batch_sharding(self.mesh)
+            self.train_step = S.make_sharded_train_step(
+                self.model, self.optimizer, self.mesh)
+            self.eval_step = S.make_sharded_eval_step(self.model, self.mesh)
+        else:
+            self.mesh = None
+            self.batch_sharding = None
+            self.train_step = make_train_step(self.model, self.optimizer)
+            self.eval_step = make_eval_step(self.model)
         self.saver = saver
         self.num_inputs = getattr(self.dataset, "num_input_channels", 6)
         self.metrics_log: list[dict] = []
+
+    def _put(self, x):
+        """Place a batch on the mesh (no-op for single-device training)."""
+        if self.batch_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(jnp.asarray(x), self.batch_sharding)
 
     def _log(self, rec: dict):
         self.metrics_log.append(rec)
         if self.saver is not None:
             self.saver.append_metrics(rec)
+
+    def check_graph_coverage(self, x_in) -> int:
+        """Guard against silent edge-dropping (round-1 retraction class):
+        verifies the configured kNN/band setup covers this data.  Runs once
+        on the first training batch; a nonzero count is loudly reported and
+        logged, never silent."""
+        from nbody_tpu.models.registry import coverage_violations
+        box = 4.0 * self.dataset.cells
+        v = coverage_violations(self.cfg.model, box, x_in)
+        if v:
+            msg = (f"WARNING: graph coverage violated — {v} particles/edges "
+                   f"fall outside what knn_method={self.cfg.model.knn_method!r}"
+                   f" (window={self.cfg.model.knn_window}, "
+                   f"band={self.cfg.model.band!r}) can represent; the model "
+                   "would train on a silently corrupted graph. Increase "
+                   "knn_window or use knn_method='exact'.")
+            print(msg, flush=True)
+            self._log({"graph_coverage_violations": int(v)})
+        return v
 
     def fit(self, num_iters: Optional[int] = None, key: Optional[jax.Array] = None,
             verbose: bool = True) -> float:
@@ -133,7 +181,9 @@ class Trainer:
         for it in range(num_iters):
             key, bkey = jax.random.split(key)
             batch = self.dataset.get_minibatch(bkey, tcfg.batch_size)
-            x_in, y_true = split_batch(jnp.asarray(batch), self.num_inputs)
+            x_in, y_true = split_batch(self._put(batch), self.num_inputs)
+            if it == 0:
+                self.check_graph_coverage(x_in)
             self.state, loss = self.train_step(self.state, x_in, y_true)
             if (it + 1) % tcfg.checkpoint_every == 0:
                 last_loss = float(loss)
@@ -161,7 +211,12 @@ class Trainer:
         num_iters = num_iters if num_iters is not None else tcfg.num_iters
         key = key if key is not None else jax.random.PRNGKey(self.cfg.data.seed)
         if not hasattr(self, "_scan_fn"):
-            self._scan_fn = make_train_scan(self.model, self.optimizer)
+            if self.mesh is not None:
+                from nbody_tpu.parallel.sharding import make_sharded_train_scan
+                self._scan_fn = make_sharded_train_scan(
+                    self.model, self.optimizer, self.mesh)
+            else:
+                self._scan_fn = make_train_scan(self.model, self.optimizer)
         scan_fn = self._scan_fn
         last_loss = float("nan")
         t0 = time.time()
@@ -173,6 +228,8 @@ class Trainer:
                 key, bkey = jax.random.split(key)
                 chunk.append(self.dataset.get_minibatch(bkey, tcfg.batch_size))
             batches = jnp.asarray(np.stack(chunk))
+            if done == 0:
+                self.check_graph_coverage(batches[0][..., :self.num_inputs])
             self.state, losses = scan_fn(self.state, batches, self.num_inputs)
             done += t
             last_loss = float(losses[-1])
@@ -201,7 +258,7 @@ class Trainer:
         errors = []
         preds = None
         for p, batch in self.dataset.sequential_batches(split, bsize):
-            x_in, y_true = split_batch(jnp.asarray(batch), self.num_inputs)
+            x_in, y_true = split_batch(self._put(batch), self.num_inputs)
             pred, err = self.eval_step(self.state.params, x_in, y_true)
             if preds is None:  # out channels discovered from the model
                 preds = np.zeros((2, n, self.dataset.num_particles,

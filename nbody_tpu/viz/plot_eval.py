@@ -34,6 +34,18 @@ def get_mask(x: np.ndarray, boundary: float = 0.1) -> np.ndarray:
     return np.all((x >= lower) & (x <= upper), axis=-1)
 
 
+def get_bins(dist: np.ndarray, num: int = 500) -> np.ndarray:
+    """Percentile-driven histogram bin edges (reference get_bins,
+    plot_eval.py:69-77): upper bound = min(90th percentile, mean + 2*std),
+    500 bins from 0 — what keeps comparison plots readable when the
+    baseline has fat tails."""
+    dist = np.asarray(dist).reshape(-1)
+    q = np.percentile(dist, 90)
+    mu, std = np.mean(dist), np.std(dist)
+    upper = min(q, mu + 2.0 * std)
+    return np.linspace(0.0, upper, num)
+
+
 def calculate_timestep(x_in: np.ndarray, x_true: np.ndarray) -> float:
     """Least-squares timestep fit t: ||vel*t - dpos|| min
     (reference plot_eval.py:85-88)."""
@@ -53,10 +65,14 @@ def l2_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def plot_hist_ax(ax, dists: Sequence[np.ndarray], labels: Sequence[str],
-                 colors: Optional[Sequence[str]] = None, bins: int = 200):
+                 colors: Optional[Sequence[str]] = None, bins=None):
     """Overlaid L2-distance histograms with median markers
-    (reference plot_hist_ax, plot_eval.py:130-147)."""
+    (reference plot_hist_ax, plot_eval.py:130-147).  Bin edges default to
+    get_bins of the FIRST series (the baseline), shared by every series —
+    the reference's convention (plot_eval.py:131-132)."""
     colors = colors or [f"C{i}" for i in range(len(dists))]
+    if bins is None:
+        bins = get_bins(dists[0])
     for d, lab, col in zip(dists, labels, colors):
         d = d.reshape(-1)
         med = float(np.median(d))
@@ -80,7 +96,12 @@ def plot_model_vs_linear(truth: np.ndarray, pred: np.ndarray,
     import matplotlib.pyplot as plt
 
     if boundary is not None:
-        mask = get_mask(truth, boundary)
+        # mask every series by the INPUT cube's boundary shell when inputs
+        # are available (reference plot_eval.py:186-199 masks x_input) —
+        # the same particle set for baseline, truth, and prediction even
+        # when displacements cross the shell
+        base = x_input[..., :3] if x_input is not None else truth
+        mask = get_mask(base, boundary)
     else:
         mask = np.ones(truth.shape[:-1], bool)
 

@@ -129,3 +129,51 @@ def test_eval_cli_restores_and_matches(tmp_path, monkeypatch, capsys):
     med2 = [l for l in out2.splitlines() if "median" in l][-1]
     assert med1 == med2
     assert os.path.getsize(plot) > 0
+
+
+def test_cli_sharded_training(tmp_path, monkeypatch, capsys):
+    """--data_axis/--particle_axis reach the Trainer: training runs on the
+    (data, particle) mesh end-to-end from the CLI (round-1 gap: the flags
+    were parsed but never read)."""
+    from nbody_tpu.cli import train as cli_train
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_train.main([
+        "-i", "4", "-b", "2", "-t", "2", "-n", "meshtest", "--synthetic",
+        "--cells", "8", "-c", "3", "8", "3", "-k", "4", "--model", "shiftinv",
+        "--data_axis", "2", "--particle_axis", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test Error" in out
+    results = tmp_path / "exp" / "ZA-FPM_0_meshtest" / "Results"
+    assert (results / "X_0_prediction.npy").exists()
+
+
+def test_trainer_sharded_matches_single_device():
+    """Trainer with data_axis*particle_axis > 1 reproduces the single-device
+    loss sequence bit-for-bit (same batches, GSPMD-partitioned step)."""
+    cfg_kwargs = dict(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                          cells_per_side=8, synthetic_num_samples=16),
+        model=C.ModelConfig(family="shiftinv", channels=(3, 8, 3),
+                            k_neighbors=4, seed=3))
+    from nbody_tpu.train.trainer import Trainer
+    t1 = Trainer(C.Config(train=C.TrainConfig(num_iters=3, batch_size=2),
+                          **cfg_kwargs))
+    t2 = Trainer(C.Config(train=C.TrainConfig(num_iters=3, batch_size=2,
+                                              data_axis=2, particle_axis=4),
+                          **cfg_kwargs))
+    assert t1.mesh is None and t2.mesh is not None
+    l1 = t1.fit(verbose=False)
+    l2 = t2.fit(verbose=False)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_trainer_sharded_rejects_indivisible_axes():
+    from nbody_tpu.train.trainer import Trainer
+    cfg = C.Config(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                          cells_per_side=8, synthetic_num_samples=16),
+        model=C.ModelConfig(family="set", channels=(6, 8, 3)),
+        train=C.TrainConfig(batch_size=3, data_axis=2, particle_axis=1))
+    with pytest.raises(ValueError, match="batch_size"):
+        Trainer(cfg)

@@ -135,3 +135,41 @@ def test_streaming_dataset_end_to_end(tmp_path):
     _, loss0 = trainer.eval_step(trainer.state.params, x, y)
     last = trainer.fit(verbose=False)
     assert np.isfinite(last) and last < float(loss0)
+
+
+def test_cli_streaming_end_to_end(tmp_path, monkeypatch, capsys):
+    """--streaming trains off a real mmap'd cube file through the CLI
+    (round-1 gap: StreamingDataset existed but no CLI path reached it)."""
+    from nbody_tpu.cli import train as cli_train
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    # num_val defaults to 100: leave enough samples for a real train split
+    np.save(str(data_dir / "ZA_001.npy"),
+            synthetic_raw_cubes(num_samples=110, cells=8, seed=5))
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_train.main([
+        "-i", "4", "-b", "2", "-t", "2", "-n", "streamtest",
+        "--data_dir", str(data_dir), "--streaming",
+        "-c", "6", "8", "3", "--model", "set"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # must NOT have fallen back to the in-memory Dataset
+    assert "falling back to the in-memory Dataset" not in out
+    assert "Test Error" in out
+    results = tmp_path / "exp" / "ZA-FPM_0_streamtest" / "Results"
+    assert (results / "X_0_prediction.npy").exists()
+
+
+def test_make_dataset_fallback_without_file(tmp_path, capsys):
+    """--streaming without a real cube file degrades to the in-memory
+    Dataset with an explanation instead of crashing."""
+    from nbody_tpu.data.dataset import make_dataset, Dataset as DS
+    from nbody_tpu import config as C
+    cfg = C.DataConfig(data_dir=str(tmp_path / "none"), streaming=True,
+                       cells_per_side=8, num_test=2, num_val=2,
+                       synthetic_num_samples=8)
+    ds = make_dataset(cfg)
+    assert isinstance(ds, DS)
+    assert "falling back to the in-memory Dataset" in capsys.readouterr().out

@@ -128,3 +128,86 @@ def test_block_dispatch_falls_back_on_indivisible_cells():
     assert not _block_ok(4 ** 3, (4, 2))     # 4 % 8 != 0
     assert not _block_ok(100, (8, 2))        # not a full cube
     assert not _block_ok(8 ** 3, None)
+
+
+# ---------------------------------------------------------------------------
+# Graph-coverage guard (the anti-silent-edge-dropping runtime check)
+# ---------------------------------------------------------------------------
+
+def _features(cells, b, disp_scale, seed=0):
+    box = 4.0 * cells
+    n = cells ** 3
+    rng = np.random.default_rng(seed)
+    q = grid_positions_np(cells, box)
+    za = (disp_scale * rng.normal(size=(b, n, 3))).astype(np.float32)
+    fpm = np.zeros_like(za)
+    return np.concatenate(
+        [np.broadcast_to(q[None] - box / 2.0, za.shape), za, fpm],
+        axis=-1).astype(np.float32)
+
+
+def test_coverage_violations_zero_on_tame_data():
+    from nbody_tpu.models.registry import coverage_violations
+    cells = 8
+    cfg = C.ModelConfig(family="shiftinv", k_neighbors=4, knn_method="lattice",
+                        knn_window=2)
+    x = _features(cells, 2, disp_scale=0.5)
+    assert coverage_violations(cfg, 4.0 * cells, x[..., :6]) == 0
+
+
+def test_coverage_violations_detects_big_displacements():
+    from nbody_tpu.models.registry import coverage_violations
+    cells = 8
+    cfg = C.ModelConfig(family="shiftinv", k_neighbors=4, knn_method="lattice",
+                        knn_window=2)
+    # displacements of ~3 grid spacings blow past the window-2 safe margin
+    x = _features(cells, 2, disp_scale=12.0)
+    assert coverage_violations(cfg, 4.0 * cells, x[..., :6]) > 0
+
+
+def test_coverage_violations_banded_vs_exact_graph():
+    from nbody_tpu.models.registry import coverage_violations
+    cells = 8
+    # a deliberately tiny band cannot hold the exact graph's edges
+    cfg = C.ModelConfig(family="shiftinv", k_neighbors=8, knn_method="banded",
+                        band=4)
+    x = _features(cells, 1, disp_scale=0.5)
+    assert coverage_violations(cfg, 4.0 * cells, x[..., :6]) > 0
+
+
+def test_trainer_warns_on_coverage_violation(capsys):
+    from nbody_tpu.train.trainer import Trainer
+    cfg = C.Config(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                          cells_per_side=8, synthetic_num_samples=8),
+        model=C.ModelConfig(family="shiftinv", channels=(3, 8, 3),
+                            k_neighbors=4, knn_window=2),
+        train=C.TrainConfig(num_iters=1, batch_size=2))
+    t = Trainer(cfg)
+    x = jnp.asarray(_features(8, 2, disp_scale=12.0)[..., :6])
+    v = t.check_graph_coverage(x)
+    assert v > 0
+    out = capsys.readouterr().out
+    assert "graph coverage violated" in out
+    assert any("graph_coverage_violations" in r for r in t.metrics_log)
+
+
+def test_bench_refuses_on_coverage_error(monkeypatch, capsys):
+    """bench.main must exit nonzero WITHOUT printing a JSON result line
+    when the coverage guard trips."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    import bench
+    import pytest
+
+    def boom(timeout_s, force_cpu):
+        raise bench.CoverageError("COVERAGE_VIOLATIONS=7: test")
+
+    monkeypatch.setattr(bench, "_measure_in_subprocess", boom)
+    monkeypatch.setattr(bench, "load_or_measure_baseline",
+                        lambda: {"graph": {"particle_steps_per_sec": 1.0}})
+    with pytest.raises(SystemExit):
+        bench.main()
+    captured = capsys.readouterr()
+    assert '"vs_baseline"' not in captured.out
+    assert "REFUSING" in captured.err

@@ -67,3 +67,47 @@ def test_pointcloud_renders(tmp_path):
                     "vel": (0.01 * vel[0], "g")},
                    boundary=0.1, subsample=4, save_path=p2)
     assert os.path.getsize(p2) > 0
+
+
+def test_get_bins_percentile_bound():
+    """Reference get_bins (plot_eval.py:69-77): 500 edges from 0 to
+    min(90th percentile, mean + 2*std)."""
+    from nbody_tpu.viz.plot_eval import get_bins
+    rng = np.random.default_rng(0)
+    # fat-tailed sample: the p90 bound must kick in below the max
+    d = np.concatenate([rng.normal(1.0, 0.1, 1000), [50.0, 80.0]])
+    bins = get_bins(d)
+    assert bins.shape == (500,)
+    assert bins[0] == 0.0
+    want_upper = min(np.percentile(d, 90), d.mean() + 2 * d.std())
+    np.testing.assert_allclose(bins[-1], want_upper)
+    assert bins[-1] < 5.0  # outliers excluded
+
+
+def test_plot_masks_by_input_not_truth(tmp_path):
+    """Masking uses the INPUT cube's boundary shell (reference
+    plot_eval.py:186-199), not the truth coords."""
+    from nbody_tpu.viz import plot_eval as pe
+    rng = np.random.default_rng(1)
+    s, n = 2, 64
+    x_input = rng.uniform(0, 1, (s, n, 6)).astype(np.float32)
+    # truth displaced OUTSIDE the shell for some input-inside particles
+    truth = np.clip(x_input[..., :3] + 0.05, 0, 1)
+    pred = truth + 0.01
+
+    calls = {}
+    orig = pe.get_mask
+
+    def spy(x, boundary=0.1):
+        calls["arg"] = x
+        return orig(x, boundary)
+
+    pe.get_mask, _ = spy, None
+    try:
+        fig = pe.plot_model_vs_linear(truth, pred, x_input=x_input,
+                                      boundary=0.1)
+    finally:
+        pe.get_mask = orig
+    np.testing.assert_array_equal(calls["arg"], x_input[..., :3])
+    import matplotlib.pyplot as plt
+    plt.close(fig)
