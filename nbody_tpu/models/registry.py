@@ -225,14 +225,19 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             return shiftinv15.init_shiftinv15_params(key, channels, jnp.float32)
 
         knn = _make_knn(cfg, box, band)
+        lattice15 = ((cells, cfg.knn_window)
+                     if (cfg.knn_method == "lattice"
+                         and cfg.neighbor_impl == "block") else None)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             idx = knn(pos)
+            n = x_in.shape[-2]
+            lat = lattice15 if (lattice15 and n == cells ** 3) else None
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
-                band=_effective_band(cfg, band, x_in.shape[-2], cells),
-                remat=cfg.remat)
+                band=_effective_band(cfg, band, n, cells),
+                remat=cfg.remat, lattice=lat)
 
         return Model(init, apply, "shiftinv15")
 
