@@ -41,7 +41,10 @@ def main(argv=None) -> int:
     print(f"\nTraining ({cfg.model.family}, N={dataset.num_particles}, "
           f"b={cfg.train.batch_size}):\n{'=' * 78}")
     t0 = time.time()
-    trainer.fit()
+    if cfg.train.scan_chunk > 0:
+        trainer.fit_scan(scan_chunk=cfg.train.scan_chunk)
+    else:
+        trainer.fit()
     print(f"Training finished!\n\tElapsed time: {(time.time() - t0) / 60:.2f}m")
     saver.save_checkpoint(trainer.state, int(trainer.state.step))
 

@@ -149,6 +149,10 @@ class TrainConfig:
     experiments_dir: str = dataclasses.field(default_factory=default_experiments_dir)
     name: str = ""                            # random constellation tag if empty
     restore: bool = False
+    # optimizer steps fused per device dispatch (lax.scan); 0 = one jitted
+    # step per dispatch.  Large values amortize host/tunnel latency —
+    # checkpoint/metric granularity becomes scan_chunk steps.
+    scan_chunk: int = 0
     # parallelism
     data_axis: int = 1                        # mesh size along batch axis
     particle_axis: int = 1                    # mesh size along particle axis
@@ -200,6 +204,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Cube cells per side (particles = cells^3)")
     adg("-r", "--restore", action="store_true",
         help="Restore pretrained model parameters (works here, unlike the reference)")
+    adg("--scan", type=int, default=0, metavar="T",
+        help="Fuse T optimizer steps per device dispatch (lax.scan); "
+             "amortizes host latency on tunneled TPUs")
     adg("--data_axis", type=int, default=1, help="Mesh size along data-parallel axis")
     adg("--particle_axis", type=int, default=1, help="Mesh size along particle axis")
     adg("--platform", type=str, default="auto", choices=["auto", "cpu", "tpu"],
@@ -259,6 +266,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         learn_rate=args.learnrate,
         name=args.name,
         restore=args.restore,
+        scan_chunk=args.scan,
         data_axis=args.data_axis,
         particle_axis=args.particle_axis)
     return Config(data=data, model=model, train=train)

@@ -177,3 +177,16 @@ def test_trainer_sharded_rejects_indivisible_axes():
         train=C.TrainConfig(batch_size=3, data_axis=2, particle_axis=1))
     with pytest.raises(ValueError, match="batch_size"):
         Trainer(cfg)
+
+
+def test_cli_scan_training(tmp_path, monkeypatch, capsys):
+    """--scan T fuses T optimizer steps per device dispatch from the CLI."""
+    from nbody_tpu.cli import train as cli_train
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_train.main([
+        "-i", "6", "-b", "2", "-t", "2", "-n", "scantest", "--synthetic",
+        "--cells", "8", "-c", "6", "8", "3", "--model", "set", "--scan", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Checkpoint     3" in out   # metric granularity = scan_chunk
+    assert "Test Error" in out
