@@ -33,9 +33,21 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-# core block shape (particles per block tile): R = 4*4*8 = 128 rows,
-# chosen so R*K is lane-friendly for K=14 (1792 = 14*128)
+# Core block shape (particles per block tile).  The per-edge one-hot dot is
+# (R*K, P) with P = prod(core + 2*window): LARGER cores dilate less per
+# particle relative to the ~19us Mosaic per-grid-step floor (PERF.md) —
+# fewer, bigger dots win until the dot itself dominates.  Default chosen by
+# measurement on the v5e (scripts/profile_ops.py); override with
+# set_core() for experiments.
 CORE = (4, 4, 8)
+
+
+def set_core(core: Tuple[int, int, int]):
+    """Swap the core block shape (performance experiments only; jitted
+    callables trace the value at trace time, so swap BEFORE building/jitting
+    a model and do not reuse previously-jitted functions)."""
+    global CORE
+    CORE = tuple(core)
 
 
 def block_geometry(cells: int, window: int):

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--window", type=int, default=2)
     ap.add_argument("--probe-only", action="store_true")
     ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--skip-banded", action="store_true")
+    ap.add_argument("--core", type=int, nargs=3, default=None,
+                    help="block core shape to test, e.g. --core 4 8 8")
+    ap.add_argument("--channels", type=int, nargs="+", default=[64, 32, 16])
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -60,7 +64,11 @@ def main():
     from nbody_tpu.models.registry import build_model
     from nbody_tpu.ops.knn import knn_periodic_lattice_batch
     from nbody_tpu.ops.banded import default_band
-    from nbody_tpu.ops.blocked import block_gather, block_scatter_add, CORE
+    import nbody_tpu.ops.blocked as blocked
+    from nbody_tpu.ops.blocked import block_gather, block_scatter_add
+    if args.core:
+        blocked.set_core(tuple(args.core))
+    CORE = blocked.CORE
     from nbody_tpu.ops.pallas.banded_kernels import (
         banded_gather_pallas, banded_scatter_add_pallas)
     from nbody_tpu.utils.profiling import timed
@@ -93,14 +101,14 @@ def main():
 
     band = default_band(cells, window=w)
     rng = np.random.default_rng(0)
-    for c in (64, 32, 16):
+    for c in args.channels:
         v = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
         ev = jnp.asarray(rng.normal(size=(b, n, k, c)).astype(np.float32))
-        bench(f"block_gather   C={c}",
+        bench(f"block_gather   C={c} core={CORE}",
               lambda vv, ii: block_gather(vv, ii, cells, w), v, idx)
-        bench(f"block_scatter  C={c}",
+        bench(f"block_scatter  C={c} core={CORE}",
               lambda vv, ii: block_scatter_add(vv, ii, cells, w), ev, idx)
-        if c == 64:
+        if c == 64 and not args.skip_banded:
             bench(f"banded_gather  C={c} band={band}",
                   lambda vv, ii: banded_gather_pallas(vv, ii, band), v, idx)
             bench(f"banded_scatter C={c} band={band}",
