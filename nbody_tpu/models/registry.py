@@ -14,6 +14,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nbody_tpu import config as C
 from nbody_tpu.ops.knn import knn_periodic_batch, knn_periodic_lattice_batch
@@ -92,13 +93,16 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     The class of bug this guards: a too-small band or search window drops
     a fraction of edges with no error anywhere (it cost a 46.6x -> 38.6x
     headline retraction in round 1, PERF.md).  Checks per knn_method:
-      lattice — particles displaced beyond the search window's safe margin
-                (ops.knn.lattice_violations);
+      lattice — the window search's neighbor distances vs the EXACT
+                O(N^2) search's: rows where the lattice graph is farther
+                than the true kNN graph are missed-neighbor rows.  (A
+                displacement-margin heuristic is too conservative: it
+                flags rows the window search still resolves exactly.)
       banded  — edges of the EXACT search outside the configured band
-                (ops.banded.band_violations; runs one O(N^2) search);
+                (ops.banded.band_violations);
       exact   — 0 by construction (band resolves to None).
     Call once per dataset/run (trainer does, bench refuses to report
-    otherwise) — not per step.
+    otherwise) — not per step: it runs one exact O(N^2) search.
     """
     if cfg.family in ("set", "attn"):
         return 0
@@ -106,18 +110,31 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     band = _resolve_band(cfg, box)
     pos, _ = _graph_geometry(jnp.asarray(x_in), box)
     n = pos.shape[-2]
+    k = cfg.k_neighbors
     pos_norm = jnp.mod(pos / box, 1.0)
+    from nbody_tpu.ops.knn import knn_periodic_batch
     if cfg.knn_method == "lattice" and n == cells ** 3:
-        from nbody_tpu.ops.knn import lattice_violations
-        v = jax.vmap(lambda p: lattice_violations(
-            p, cells, 1.0, cfg.knn_window))(pos_norm)
-        return int(jax.device_get(jnp.sum(v)))
+        from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+        idx_lat = jax.device_get(knn_periodic_lattice_batch(
+            pos_norm, k, cells=cells, window=cfg.knn_window))
+        idx_ex = jax.device_get(knn_periodic_batch(pos_norm, k))
+        p = np.asarray(jax.device_get(pos_norm))
+
+        def ksum(idx_np):
+            # total squared neighbor distance per row (tie-insensitive)
+            out = np.zeros(idx_np.shape[:2], np.float64)
+            for bi in range(p.shape[0]):
+                d = p[bi][idx_np[bi]] - p[bi][:, None, :]
+                d -= np.round(d)
+                out[bi] = np.sum(d * d, axis=(1, 2))
+            return out
+
+        return int(np.sum(ksum(idx_lat) > ksum(idx_ex) + 1e-9))
     eff = _effective_band(cfg, band, n, cells)
     if eff is None:
         return 0
-    from nbody_tpu.ops.knn import knn_periodic_batch
     from nbody_tpu.ops.banded import band_violations
-    idx = knn_periodic_batch(pos_norm, cfg.k_neighbors)
+    idx = knn_periodic_batch(pos_norm, k)
     return int(jax.device_get(band_violations(idx, eff)))
 
 

@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def probe_tunnel(timeout_s: float = 90.0) -> bool:
+def probe_tunnel(timeout_s: float = 150.0) -> bool:
     """Tiny matmul with a hard timeout: the tunnel sometimes hangs."""
     import subprocess
     code = ("import jax, jax.numpy as jnp; "
