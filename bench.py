@@ -72,11 +72,10 @@ def measure_tpu_graph_step() -> float:
     raw = synthetic_raw_cubes(num_samples=2 * BATCH, cells=CELLS, seed=0)
     x = features_from_raw(raw)
     # bf16 compute, f32 params/optimizer — the standard TPU training setup
-    # (mixed precision via models.registry._mixed_precision)
-    # knn_window=2 is exact for this data class (ZA displacements < 1.5
-    # grid spacings; tested vs the exact O(N^2) search and verifiable at
-    # runtime with ops.knn.lattice_violations) and shrinks both the search
-    # and the gather/scatter band ~1.5x
+    # (mixed precision via models.registry._mixed_precision).
+    # knn_window=2 is exact for this data class: verified against the
+    # exact O(N^2) search by the coverage guard below on every run (f64
+    # distance-sum comparison; zero tolerance for missed edges).
     cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
                         k_neighbors=K, dtype="bfloat16", knn_window=2,
                         neighbor_impl="block")
@@ -86,7 +85,7 @@ def measure_tpu_graph_step() -> float:
     v = coverage_violations(cfg, 4.0 * CELLS, x)
     if v:
         raise CoverageError(
-            f"COVERAGE_VIOLATIONS={v}: the window-2 lattice search cannot "
+            f"COVERAGE_VIOLATIONS={v}: the lattice search window cannot "
             "represent this data's displacements; no number reported.")
     model = build_model(cfg, box=4.0 * CELLS)
     opt = optax.adam(1e-3)

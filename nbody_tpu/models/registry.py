@@ -121,15 +121,22 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
         p = np.asarray(jax.device_get(pos_norm))
 
         def ksum(idx_np):
-            # total squared neighbor distance per row (tie-insensitive)
+            # total squared neighbor distance per row (tie-insensitive),
+            # in f64 so summation order cannot manufacture differences
             out = np.zeros(idx_np.shape[:2], np.float64)
             for bi in range(p.shape[0]):
-                d = p[bi][idx_np[bi]] - p[bi][:, None, :]
+                pb = p[bi].astype(np.float64)
+                d = pb[idx_np[bi]] - pb[:, None, :]
                 d -= np.round(d)
                 out[bi] = np.sum(d * d, axis=(1, 2))
             return out
 
-        return int(np.sum(ksum(idx_lat) > ksum(idx_ex) + 1e-9))
+        # tolerance: the two searches compute f32 distances along different
+        # expression trees, so top-k can break near-ties differently — a
+        # ~1e-8 sum wobble that is NOT a missed edge.  A genuinely missed
+        # neighbor costs >= O(spacing^2) ~ 1e-3 in the sum; 1e-6 separates
+        # the two regimes by orders of magnitude either way.
+        return int(np.sum(ksum(idx_lat) > ksum(idx_ex) + 1e-6))
     eff = _effective_band(cfg, band, n, cells)
     if eff is None:
         return 0
