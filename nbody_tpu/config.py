@@ -127,12 +127,18 @@ class ModelConfig:
     knn_window: int = 3
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
-    # neighbor gather/scatter implementation on TPU: "block" (3D-block
-    # patches — wrap-correct by construction, fastest measured, constant
-    # patch size so it also scales to 64^3+) or "banded" (flat index-slab
-    # one-hot matmuls).  "block" requires lattice kNN on a full cube and is
-    # currently plumbed for the shiftinv family; other graph families use
-    # the banded path.  See PERF.md.
+    # neighbor gather/scatter implementation on TPU:
+    #   "masked" — one-hot selection masks precomputed ONCE per step from
+    #              idx and shared by every neighbor op fwd+bwd; each op is
+    #              one XLA batched matmul (no Mosaic per-grid-step floor).
+    #              Fastest at 32^3; costs O(N*K*patch) bytes of HBM for the
+    #              masks, so large cubes may prefer "block".
+    #   "block"  — 3D-block patches, Pallas one-hot dots regenerated
+    #              in-VMEM per op — wrap-correct by construction, constant
+    #              patch size (scales to 64^3+), minimal HBM.
+    #   "banded" — flat index-slab one-hot matmuls (no cube assumption).
+    # "masked"/"block" require lattice kNN on a full cube; non-cube data
+    # falls back to the banded path.  See PERF.md.
     neighbor_impl: str = "block"
 
     @property

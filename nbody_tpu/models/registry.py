@@ -145,6 +145,19 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     return int(jax.device_get(band_violations(idx, eff)))
 
 
+def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
+    """Precomputed shared one-hot masks (neighbor_impl='masked'): one
+    (B, NB, ET, P) array per step, consumed by every neighbor op fwd+bwd
+    (ops/blocked.block_masks; PERF.md shared-mask formulation)."""
+    if cfg.neighbor_impl != "masked" or lat is None:
+        return None
+    from nbody_tpu.ops.blocked import block_masks, CORE
+    if any(lat[0] % d for d in CORE):
+        return None
+    mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    return block_masks(idx, lat[0], lat[1], dtype=mask_dt)
+
+
 def _mixed_precision(model: Model, dtype) -> Model:
     """Proper mixed precision: parameters (and hence Adam moments) stay f32;
     the forward computes in `dtype` (bf16 on the MXU); predictions return
@@ -197,7 +210,8 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         knn = _make_knn(cfg, box, band)
         lattice = ((cells, cfg.knn_window)
                    if (cfg.knn_method == "lattice"
-                       and cfg.neighbor_impl == "block") else None)
+                       and cfg.neighbor_impl in ("block", "masked"))
+                   else None)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
@@ -205,11 +219,12 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice if (lattice and n == cells ** 3) else None
+            masks = _make_masks(cfg, lat, idx, dtype)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
                 vel.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),
-                remat=cfg.remat, lattice=lat)
+                remat=cfg.remat, lattice=lat, masks=masks)
 
         return Model(init, apply, "shiftinv_vel")
 
@@ -229,17 +244,19 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
 
             lattice = ((cells, cfg.knn_window)
                        if (cfg.knn_method == "lattice"
-                           and cfg.neighbor_impl == "block") else None)
+                           and cfg.neighbor_impl in ("block", "masked"))
+                       else None)
 
             def apply(params, x_in):
                 pos, za = _graph_geometry(x_in, box)
                 idx = knn(pos)
                 n = x_in.shape[-2]
                 lat = lattice if (lattice and n == cells ** 3) else None
+                masks = _make_masks(cfg, lat, idx, dtype)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=_effective_band(cfg, band, n, cells),
-                    remat=cfg.remat, lattice=lat)
+                    remat=cfg.remat, lattice=lat, masks=masks)
 
             return Model(init, apply, "shiftinv")
 
@@ -251,17 +268,19 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
         knn = _make_knn(cfg, box, band)
         lattice15 = ((cells, cfg.knn_window)
                      if (cfg.knn_method == "lattice"
-                         and cfg.neighbor_impl == "block") else None)
+                         and cfg.neighbor_impl in ("block", "masked"))
+                     else None)
 
         def apply(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice15 if (lattice15 and n == cells ** 3) else None
+            masks = _make_masks(cfg, lat, idx, dtype)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),
-                remat=cfg.remat, lattice=lat)
+                remat=cfg.remat, lattice=lat, masks=masks)
 
         return Model(init, apply, "shiftinv15")
 

@@ -47,7 +47,7 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
                     is_last: bool = False,
                     band: Optional[int] = None,
                     counts: Optional[jnp.ndarray] = None,
-                    lattice=None) -> jnp.ndarray:
+                    lattice=None, masks=None) -> jnp.ndarray:
     """One 4-op layer. h (b, N, K, C) edge features, idx (b, N, K) neighbor ids.
 
     counts: precomputed in-degrees (ops.banded.neighbor_counts) — shared by
@@ -71,12 +71,16 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     c_in, q = w.shape[1], w.shape[2]
     if q < c_in:
         hw = jnp.einsum("bnkc,cq->bnkq", h, w[1], preferred_element_type=dt)
-        pooled_rows = neighbor_segment_mean(hw, idx, band, counts, lattice)
-        h2 = neighbor_gather(pooled_rows, idx, band, lattice)    # (b, N, K, q)
+        pooled_rows = neighbor_segment_mean(hw, idx, band, counts, lattice,
+                                            masks)
+        h2 = neighbor_gather(pooled_rows, idx, band, lattice,
+                             masks=masks)                        # (b, N, K, q)
     else:
-        pooled_rows = neighbor_segment_mean(h, idx, band, counts, lattice)
+        pooled_rows = neighbor_segment_mean(h, idx, band, counts, lattice,
+                                            masks)
         h2 = jnp.einsum("bnkc,cq->bnkq",
-                        neighbor_gather(pooled_rows, idx, band, lattice), w[1],
+                        neighbor_gather(pooled_rows, idx, band, lattice,
+                                        masks=masks), w[1],
                         preferred_element_type=dt)
 
     # op 3: pool cols (segment = row id) == mean over K, broadcast over K
@@ -99,14 +103,14 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                      idx: jnp.ndarray, activation=jax.nn.relu,
                      band: Optional[int] = None,
                      remat: bool = False,
-                     lattice=None) -> jnp.ndarray:
+                     lattice=None, masks=None) -> jnp.ndarray:
     """Layer stack (reference network_func_shift_inv_za, graph.py:463-476).
 
     remat=True rematerializes each layer in the backward pass
     (jax.checkpoint): edge activations are (b, N, K, C) — at 64^3 cubes the
     memory saving is what makes training fit (SURVEY.md §7 hard parts)."""
     h = edges
-    counts = neighbor_counts(idx, band, edges.dtype, lattice)  # shared
+    counts = neighbor_counts(idx, band, edges.dtype, lattice, masks)  # shared
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
@@ -114,7 +118,7 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                                lattice=lattice)
         if remat:
             fn = jax.checkpoint(fn)
-        h = fn(h, idx, layer_params, counts=counts)
+        h = fn(h, idx, layer_params, counts=counts, masks=masks)
         if not is_last:
             h = activation(h)
     return h
@@ -125,16 +129,16 @@ def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                    activation=jax.nn.relu,
                    band: Optional[int] = None,
                    remat: bool = False,
-                   lattice=None) -> jnp.ndarray:
+                   lattice=None, masks=None) -> jnp.ndarray:
     """Full model: featurize + network (reference model_func_shift_inv_za).
 
     pos (b, N, 3) raw positions (grid + ZA), idx (b, N, K) with self at
     slot 0, za_disp (b, N, 3).  lattice=(cells, window) routes neighbor
     access through the 3D-block kernels.  Returns (b, N, 3..q).
     """
-    edges = edge_features_za(pos, idx, za_disp, box, band, lattice)
+    edges = edge_features_za(pos, idx, za_disp, box, band, lattice, masks)
     return shiftinv_network(params, edges, idx, activation, band, remat,
-                            lattice)
+                            lattice, masks)
 
 
 def init_shiftinv_vel_params(key: jax.Array, channels: Sequence[int],
@@ -154,7 +158,7 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                        activation=jax.nn.relu,
                        band: Optional[int] = None,
                        remat: bool = False,
-                       lattice=None) -> jnp.ndarray:
+                       lattice=None, masks=None) -> jnp.ndarray:
     """Velocity-aware graph model (the reference's commented
     _model_func_shift_inv, graph.py:517-567, made real).
 
@@ -165,9 +169,10 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     """
     from nbody_tpu.ops.graph_features import edge_features_with_nodes
     edges = edge_features_with_nodes(pos, idx, vel, box, band,
-                                     za_disp=za_disp, lattice=lattice)  # (b,N,K,9)
+                                     za_disp=za_disp, lattice=lattice,
+                                     masks=masks)  # (b,N,K,9)
     net = shiftinv_network(params["layers"], edges, idx, activation, band,
-                           remat, lattice)
+                           remat, lattice, masks)
     t = params["T"]
     scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],
                              jnp.full((net.shape[-1] - 3,), 1.0, net.dtype) * t[1]])

@@ -76,7 +76,7 @@ def _lattice_offsets(idx: jnp.ndarray, cells: int) -> jnp.ndarray:
 
 
 def build_block_sym_graph(idx: jnp.ndarray, band: Optional[int] = None,
-                          lattice=None) -> BlockSymGraph:
+                          lattice=None, masks=None) -> BlockSymGraph:
     """idx (b, N, K) with self at slot 0 -> BlockSymGraph.
 
     lattice=(cells, window): the fast path for lattice-kNN cubes — the
@@ -92,7 +92,7 @@ def build_block_sym_graph(idx: jnp.ndarray, band: Optional[int] = None,
         cells, w = lattice
         d = _lattice_offsets(idx, cells)                  # (b, N, K, 3)
         payload = (d + w).reshape(b, n, 3 * k).astype(jnp.float32)
-        nbr = neighbor_gather(payload, idx, band, lattice)
+        nbr = neighbor_gather(payload, idx, band, lattice, masks=masks)
         nbr = jnp.round(nbr).astype(jnp.int32).reshape(b, n, k, k, 3) - w
         hit = jnp.all(nbr == -d[:, :, :, None, :], axis=-1)   # (b, N, K, K)
     else:
@@ -109,7 +109,8 @@ def build_block_sym_graph(idx: jnp.ndarray, band: Optional[int] = None,
     rev_pos = jnp.argmax(hit, axis=-1).astype(jnp.int32)
     mask_b = (~rev_exists).astype(jnp.float32)
     # symmetrized degree: K (block A) + live block-B edges pointing at n
-    cnt_b = neighbor_scatter_add(mask_b[..., None], idx, band, lattice)[..., 0]
+    cnt_b = neighbor_scatter_add(mask_b[..., None], idx, band, lattice,
+                                 masks=masks)[..., 0]
     deg = cnt_b + jnp.float32(k)
     return BlockSymGraph(idx=idx.astype(jnp.int32), rev_pos=rev_pos,
                          mask_b=mask_b, deg=deg)
@@ -118,7 +119,7 @@ def build_block_sym_graph(idx: jnp.ndarray, band: Optional[int] = None,
 def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
                            za_disp: jnp.ndarray, box: float,
                            band: Optional[int] = None,
-                           lattice=None) -> jnp.ndarray:
+                           lattice=None, masks=None) -> jnp.ndarray:
     """(b, N, 3) pos -> (b, 2, N, K, 3) block edge features.
 
     Block A: min-image relative positions with ZA displacement on the
@@ -126,7 +127,7 @@ def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
     positions (the reversed edge's feature), masked.
     """
     from nbody_tpu.ops.graph_features import neighbor_positions
-    nbr = neighbor_positions(pos, graph.idx, box, band, lattice)
+    nbr = neighbor_positions(pos, graph.idx, box, band, lattice, masks)
     edges = min_image_diff(nbr, pos[:, :, None, :], box)
     ea = edges.at[:, :, 0, :].set(za_disp)
     eb = (-edges) * graph.mask_b[..., None]
@@ -137,42 +138,47 @@ def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
 # The 15 operators in block form
 # ---------------------------------------------------------------------------
 
-def _col_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndarray:
+def _col_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
+              masks=None) -> jnp.ndarray:
     """Mean over edges grouped by COLUMN id -> (b, N, C).
 
     Block A cols are idx (banded scatter); block B cols are the row n
     itself (a free masked sum over K)."""
-    sums = neighbor_scatter_add(h[:, 0], g.idx, band, lattice)
+    sums = neighbor_scatter_add(h[:, 0], g.idx, band, lattice, masks=masks)
     sums += jnp.sum(h[:, 1] * g.mask_b[..., None], axis=2)
     return sums / g.deg[..., None]
 
 
-def _row_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndarray:
+def _row_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
+              masks=None) -> jnp.ndarray:
     """Mean over edges grouped by ROW id -> (b, N, C).
 
     Block A rows are n (free sum over K); block B rows are idx (banded
     scatter of the masked values)."""
     sums = jnp.sum(h[:, 0], axis=2)
     sums += neighbor_scatter_add(h[:, 1] * g.mask_b[..., None], g.idx, band,
-                                 lattice)
+                                 lattice, masks=masks)
     return sums / g.deg[..., None]
 
 
-def _bcast_col(x: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndarray:
+def _bcast_col(x: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
+               masks=None) -> jnp.ndarray:
     """Node field (b, N, C) -> edge field by column id (b, 2, N, K, C)."""
-    a = neighbor_gather(x, g.idx, band, lattice)
+    a = neighbor_gather(x, g.idx, band, lattice, masks=masks)
     b_ = jnp.broadcast_to(x[:, :, None, :], a.shape)
     return jnp.stack([a, b_], axis=1)
 
 
-def _bcast_row(x: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndarray:
+def _bcast_row(x: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
+               masks=None) -> jnp.ndarray:
     """Node field (b, N, C) -> edge field by row id (b, 2, N, K, C)."""
-    b_ = neighbor_gather(x, g.idx, band, lattice)
+    b_ = neighbor_gather(x, g.idx, band, lattice, masks=masks)
     a = jnp.broadcast_to(x[:, :, None, :], b_.shape)
     return jnp.stack([a, b_], axis=1)
 
 
-def _transpose(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndarray:
+def _transpose(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
+               masks=None) -> jnp.ndarray:
     """Edge transpose: value at (c, r) for each slot (r, c).
 
     A-slot (n, k): the reverse edge is either A-slot (c, rev_pos) — fetched
@@ -180,7 +186,8 @@ def _transpose(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None) -> jnp.ndar
     masked B mirror (n, k).  B-slot transpose is its A mirror."""
     bsz, _, n, k, c = h.shape
     ha = h[:, 0]
-    rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band, lattice)
+    rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band,
+                                lattice, masks=masks)
     rows_wide = rows_wide.reshape(bsz, n, k, k, c)   # [., n, k, j, .] = ha[idx[n,k], j]
     sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)          # (b, N, K, K)
     from_a = jnp.einsum("bnkjc,bnkj->bnkc", rows_wide, sel,
@@ -201,7 +208,7 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
                          layer_params: Dict[str, jnp.ndarray],
                          is_last: bool = False,
                          band: Optional[int] = None,
-                         lattice=None) -> jnp.ndarray:
+                         lattice=None, masks=None) -> jnp.ndarray:
     """One 15-op layer. h (b, 2, N, K, C) masked block edge features.
 
     Returns (b, 2, N, K, q), or (b, N, q) if is_last (pooled over rows,
@@ -216,8 +223,8 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
         return jnp.einsum("...c,cq->...q", x, wi, preferred_element_type=dt)
 
     h_d = h[:, 0, :, 0, :]                       # (b, N, C) diagonal
-    h_r = _col_pool(h, g, band, lattice)         # pool rows  (by col)
-    h_c = _row_pool(h, g, band, lattice)         # pool cols  (by row)
+    h_r = _col_pool(h, g, band, lattice, masks)  # pool rows  (by col)
+    h_c = _row_pool(h, g, band, lattice, masks)  # pool cols  (by row)
     live = jnp.sum(g.deg, axis=-1)               # total live edges per sample
     h_a = (jnp.sum(h[:, 0], axis=(1, 2))
            + jnp.sum(h[:, 1] * g.mask_b[..., None], axis=(1, 2))) / live[:, None]
@@ -230,15 +237,15 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     # K-wide-row gather is the most expensive op in this family; its cost
     # is linear in the channel count it moves)
     if w.shape[-1] < w.shape[-2]:
-        out += _transpose(mm(h, w[1]), g, band, lattice)
+        out += _transpose(mm(h, w[1]), g, band, lattice, masks)
     else:
-        out += mm(_transpose(h, g, band, lattice), w[1])
+        out += mm(_transpose(h, g, band, lattice, masks), w[1])
     out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
-    out += _bcast_col(mm(h_r, w[3]), g, band, lattice)           # 4 rows->rows
-    out += _bcast_row(mm(h_r, w[4]), g, band, lattice)           # 5 rows->cols
+    out += _bcast_col(mm(h_r, w[3]), g, band, lattice, masks)    # 4 rows->rows
+    out += _bcast_row(mm(h_r, w[4]), g, band, lattice, masks)    # 5 rows->cols
     out += _at_dia(mm(h_r, w[5]), h)                             # 6 rows->diag
-    out += _bcast_row(mm(h_c, w[6]), g, band, lattice)           # 7 cols->cols
-    out += _bcast_col(mm(h_c, w[7]), g, band, lattice)           # 8 cols->rows
+    out += _bcast_row(mm(h_c, w[6]), g, band, lattice, masks)    # 7 cols->cols
+    out += _bcast_col(mm(h_c, w[7]), g, band, lattice, masks)    # 8 cols->rows
     out += _at_dia(mm(h_c, w[8]), h)                             # 9 cols->diag
     out += mm(h_a, w[9])[:, None, None, None, :]                 # 10 all->all
     out += _at_dia(jnp.broadcast_to(mm(h_a, w[10])[:, None, :],
@@ -246,15 +253,15 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     out += mm(h_p, w[11])[:, None, None, None, :]                # 12 diag->all
     out += _at_dia(jnp.broadcast_to(mm(h_p, w[12])[:, None, :],
                                     (h.shape[0], n, w.shape[-1])), h)  # 13
-    out += _bcast_col(mm(h_d, w[13]), g, band, lattice)          # 14 diag->rows
-    out += _bcast_row(mm(h_d, w[14]), g, band, lattice)          # 15 diag->cols
+    out += _bcast_col(mm(h_d, w[13]), g, band, lattice, masks)   # 14 diag->rows
+    out += _bcast_row(mm(h_d, w[14]), g, band, lattice, masks)   # 15 diag->cols
     out += _at_dia(jnp.broadcast_to(bias[0], (h.shape[0], n, bias.shape[-1])), h)
     out += bias[1]
 
     mask = jnp.stack([jnp.ones_like(g.mask_b), g.mask_b], axis=1)[..., None]
     out = out * mask
     if is_last:
-        return _row_pool(out, g, band, lattice)
+        return _row_pool(out, g, band, lattice, masks)
     return out
 
 
@@ -262,7 +269,7 @@ def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                        graph: BlockSymGraph, activation=jax.nn.relu,
                        band: Optional[int] = None,
                        remat: bool = False,
-                       lattice=None) -> jnp.ndarray:
+                       lattice=None, masks=None) -> jnp.ndarray:
     """Layer stack (reference network_func_15op_shift_inv_za)."""
     import functools
     h = edges
@@ -270,7 +277,7 @@ def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
         fn = functools.partial(shift_inv_15op_layer, is_last=is_last,
-                               band=band, lattice=lattice)
+                               band=band, lattice=lattice, masks=masks)
         if remat:
             fn = jax.checkpoint(fn)
         h = fn(h, graph, layer_params)
@@ -284,17 +291,18 @@ def shiftinv15_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                      activation=jax.nn.relu,
                      band: Optional[int] = None,
                      remat: bool = False,
-                     lattice=None) -> jnp.ndarray:
+                     lattice=None, masks=None) -> jnp.ndarray:
     """Full model: symmetrized graph + features + network.
 
     pos (b, N, 3), za_disp (b, N, 3), idx (b, N, K) with self at slot 0.
     lattice=(cells, window) routes every neighbor op through the 3D-block
     kernels and the offset-code reverse-edge search (the family fast path).
     """
-    graph = build_block_sym_graph(idx, band, lattice)
-    feats = block_edge_features_za(pos, graph, za_disp, box, band, lattice)
+    graph = build_block_sym_graph(idx, band, lattice, masks)
+    feats = block_edge_features_za(pos, graph, za_disp, box, band, lattice,
+                                   masks)
     return shiftinv15_network(params, feats.astype(pos.dtype), graph,
-                              activation, band, remat, lattice)
+                              activation, band, remat, lattice, masks)
 
 
 # ---------------------------------------------------------------------------

@@ -219,17 +219,9 @@ def _scatter_impl(vals: jnp.ndarray, idx: jnp.ndarray, band,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
-                    band: Optional[int] = None,
-                    lattice=None, exact: bool = False) -> jnp.ndarray:
-    """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C).
-
-    lattice=(cells, window): idx comes from the lattice kNN — use the tight
-    3D-block kernels (ops/blocked.py) on TPU.
-
-    exact=True keeps values in f32 through the kernels (6-pass MXU dots) —
-    REQUIRED for integer payloads (e.g. gathering neighbor-id rows), which
-    the default bf16 fast path would round above 256."""
+def _neighbor_gather_idx(values: jnp.ndarray, idx: jnp.ndarray,
+                         band: Optional[int] = None,
+                         lattice=None, exact: bool = False) -> jnp.ndarray:
     return _gather_impl(values, idx, band, lattice, exact)
 
 
@@ -241,14 +233,13 @@ def _ng_bwd(band, lattice, exact, idx, ct):
     return _scatter_impl(ct, idx, band, lattice, exact), None
 
 
-neighbor_gather.defvjp(_ng_fwd, _ng_bwd)
+_neighbor_gather_idx.defvjp(_ng_fwd, _ng_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
-                         band: Optional[int] = None,
-                         lattice=None, exact: bool = False) -> jnp.ndarray:
-    """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
+def _neighbor_scatter_add_idx(vals: jnp.ndarray, idx: jnp.ndarray,
+                              band: Optional[int] = None,
+                              lattice=None, exact: bool = False) -> jnp.ndarray:
     return _scatter_impl(vals, idx, band, lattice, exact)
 
 
@@ -260,29 +251,66 @@ def _ns_bwd(band, lattice, exact, idx, ct):
     return _gather_impl(ct, idx, band, lattice, exact), None
 
 
-neighbor_scatter_add.defvjp(_ns_fwd, _ns_bwd)
+_neighbor_scatter_add_idx.defvjp(_ns_fwd, _ns_bwd)
+
+
+def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
+                    band: Optional[int] = None,
+                    lattice=None, exact: bool = False,
+                    masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched gather: values (b, N, C), idx (b, N, K) -> (b, N, K, C).
+
+    lattice=(cells, window): idx comes from the lattice kNN — use the tight
+    3D-block kernels (ops/blocked.py) on TPU.
+
+    masks (from ops.blocked.block_masks, precomputed once per step): use the
+    shared-mask XLA einsum path instead of a Pallas kernel — every op is one
+    batched matmul, autodiff transposes it against the SAME mask array, and
+    the Mosaic per-grid-step floor disappears.  Requires lattice.
+
+    exact=True keeps values in f32 through the kernels (6-pass MXU dots) —
+    REQUIRED for integer payloads (e.g. gathering neighbor-id rows), which
+    the default bf16 fast path would round above 256.  exact with bf16
+    masks would defeat the purpose, so exact falls back to the idx path."""
+    if masks is not None and lattice is not None and not exact:
+        from nbody_tpu.ops.blocked import masked_gather
+        return masked_gather(values, masks, lattice[0], lattice[1])
+    return _neighbor_gather_idx(values, idx, band, lattice, exact)
+
+
+def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
+                         band: Optional[int] = None,
+                         lattice=None, exact: bool = False,
+                         masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
+    if masks is not None and lattice is not None and not exact:
+        from nbody_tpu.ops.blocked import masked_scatter_add
+        return masked_scatter_add(vals, masks, lattice[0], lattice[1])
+    return _neighbor_scatter_add_idx(vals, idx, band, lattice, exact)
 
 
 def neighbor_counts(idx: jnp.ndarray, band: Optional[int] = None,
-                    dtype=jnp.float32, lattice=None) -> jnp.ndarray:
+                    dtype=jnp.float32, lattice=None,
+                    masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """In-degree of each particle in the kNN graph: (b, N, K) -> (b, N).
 
     Depends only on idx — compute ONCE per step and reuse across layers
     (and fwd/bwd: it is stop_gradient'ed)."""
     ones = jnp.ones(idx.shape + (1,), dtype)
     return jax.lax.stop_gradient(
-        neighbor_scatter_add(ones, idx, band, lattice))[..., 0]
+        neighbor_scatter_add(ones, idx, band, lattice, masks=masks))[..., 0]
 
 
 def neighbor_segment_mean(vals: jnp.ndarray, idx: jnp.ndarray,
                           band: Optional[int] = None,
                           counts: Optional[jnp.ndarray] = None,
-                          lattice=None) -> jnp.ndarray:
+                          lattice=None,
+                          masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched mean of edge values grouped by neighbor id: (b,N,K,C)->(b,N,C).
 
     tf.unsorted_segment_mean semantics (empty targets -> 0).  Pass
     precomputed `counts` (neighbor_counts) to avoid re-scattering ones."""
-    sums = neighbor_scatter_add(vals, idx, band, lattice)
+    sums = neighbor_scatter_add(vals, idx, band, lattice, masks=masks)
     cnt = counts if counts is not None else neighbor_counts(
-        idx, band, vals.dtype, lattice)
+        idx, band, vals.dtype, lattice, masks)
     return sums / jnp.maximum(cnt, 1.0)[..., None]

@@ -174,6 +174,58 @@ def edge_block_positions(idx: jnp.ndarray, cells: int, window: int) -> jnp.ndarr
     return p_blocks.reshape(b, -1, bx * by * bz * k)
 
 
+def block_masks(idx: jnp.ndarray, cells: int, window: int,
+                dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B, N, K) lattice-kNN ids -> (B, NB, ET, P) one-hot selection masks.
+
+    The masks depend only on idx, so they are computed ONCE per train step
+    and shared by every masked gather/scatter in the network — forward AND
+    backward (autodiff of the einsums reads the same array).  This is the
+    "precomputed shared one-hot" formulation from the PERF.md ledger: each
+    neighbor op becomes one XLA batched matmul with no Mosaic per-grid-step
+    floor and no per-op one-hot regeneration.
+
+    {0, 1} are exact in bf16, so bf16 masks lose nothing on the one-hot
+    side; pass dtype=jnp.float32 for exact-mode dots.
+    """
+    b, n, k = idx.shape
+    _, (ex, ey, ez) = block_geometry(cells, window)
+    p = edge_block_positions(idx, cells, window)          # (B, NB, ET)
+    lane = jnp.arange(ex * ey * ez, dtype=jnp.int32)
+    return jax.lax.stop_gradient((p[..., None] == lane).astype(dtype))
+
+
+def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
+                  window: int) -> jnp.ndarray:
+    """values (B, N, C), masks from block_masks -> (B, N, K, C).
+
+    One XLA batched matmul per call: (NB x) (ET, P) @ (P, C)."""
+    b, n, c = values.shape
+    bx, by, bz = CORE
+    r = bx * by * bz
+    k = masks.shape[2] // r
+    patches = block_patches(values, cells, window)        # (B, NB, P, C)
+    out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, -1, r, k * c)
+    return blocks_to_cube(out, cells).reshape(b, n, k, c).astype(values.dtype)
+
+
+def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
+                       window: int) -> jnp.ndarray:
+    """vals (B, N, K, C), masks from block_masks -> (B, N, C) sums by id.
+
+    The transposed batched matmul of masked_gather, plus the overlap-add
+    fold of per-block patch accumulations."""
+    b, n, k, c = vals.shape
+    bx, by, bz = CORE
+    v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells)
+    v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
+    acc = jnp.einsum("bnep,bnec->bnpc", masks, v_blocks.astype(masks.dtype),
+                     preferred_element_type=jnp.float32)
+    return patches_fold(acc, cells, window).astype(vals.dtype)
+
+
 def block_gather(values: jnp.ndarray, idx: jnp.ndarray, cells: int,
                  window: int, fast: bool = True,
                  interpret: bool = False) -> jnp.ndarray:

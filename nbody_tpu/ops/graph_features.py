@@ -43,7 +43,8 @@ def lattice_site_positions(idx: jnp.ndarray, cells: int, box: float,
 
 
 def neighbor_positions(pos: jnp.ndarray, idx: jnp.ndarray, box: float,
-                       band: Optional[int] = None, lattice=None) -> jnp.ndarray:
+                       band: Optional[int] = None, lattice=None,
+                       masks=None) -> jnp.ndarray:
     """Gather neighbor positions (b, N, K, 3) with bf16-safe magnitudes.
 
     The TPU fast path rounds gathered VALUES to bf16; absolute coordinates
@@ -62,19 +63,19 @@ def neighbor_positions(pos: jnp.ndarray, idx: jnp.ndarray, box: float,
     sites = lattice_site_positions(
         jnp.arange(n, dtype=jnp.int32), cells, box, pos.dtype)
     disp = min_image_diff(pos, sites[None], box)          # small everywhere
-    nbr_disp = neighbor_gather(disp, idx, band, lattice)
+    nbr_disp = neighbor_gather(disp, idx, band, lattice, masks=masks)
     return lattice_site_positions(idx, cells, box, pos.dtype)[..., :] + nbr_disp
 
 
 def edge_features_za(pos: jnp.ndarray, idx: jnp.ndarray, za_disp: jnp.ndarray,
                      box: float, band: Optional[int] = None,
-                     lattice=None) -> jnp.ndarray:
+                     lattice=None, masks=None) -> jnp.ndarray:
     """Edges = neighbor relative positions, ZA displacement on the self-edge.
 
     pos (b, N, 3) raw positions; idx (b, N, K) with idx[..., 0] == self;
     za_disp (b, N, 3).  Returns (b, N, K, 3).
     """
-    nbr = neighbor_positions(pos, idx, box, band, lattice)
+    nbr = neighbor_positions(pos, idx, box, band, lattice, masks)
     edges = min_image_diff(nbr, pos[:, :, None, :], box)
     # self-edge (slot 0) carries the ZA displacement (graph.py:338-343)
     return edges.at[:, :, 0, :].set(za_disp)
@@ -85,7 +86,7 @@ def edge_features_with_nodes(pos: jnp.ndarray, idx: jnp.ndarray,
                              band: Optional[int] = None,
                              za_disp: Optional[jnp.ndarray] = None,
                              redshift: Optional[jnp.ndarray] = None,
-                             lattice=None) -> jnp.ndarray:
+                             lattice=None, masks=None) -> jnp.ndarray:
     """Edges + broadcast node features (reference include_node_features).
 
     Returns (b, N, K, 3 + 2*C_node [+1]): [rel_pos, node[row], node[col], z?].
@@ -93,13 +94,14 @@ def edge_features_with_nodes(pos: jnp.ndarray, idx: jnp.ndarray,
     carries the ZA displacement (graph.py:338-343), as in edge_features_za.
     Used by the velocity model (models/shiftinv.shiftinv_vel_model).
     """
-    edges = min_image_diff(neighbor_positions(pos, idx, box, band, lattice),
+    edges = min_image_diff(neighbor_positions(pos, idx, box, band, lattice,
+                                              masks),
                            pos[:, :, None, :], box)
     if za_disp is not None:
         edges = edges.at[:, :, 0, :].set(za_disp)
     rows = jnp.broadcast_to(node_feats[:, :, None, :],
                             edges.shape[:3] + (node_feats.shape[-1],))
-    cols = neighbor_gather(node_feats, idx, band, lattice)
+    cols = neighbor_gather(node_feats, idx, band, lattice, masks=masks)
     feats = [edges, rows, cols]
     if redshift is not None:
         z = jnp.broadcast_to(redshift.reshape(-1, 1, 1, 1),

@@ -24,10 +24,18 @@ import numpy as np
 
 
 def fetch(x: Any) -> Any:
-    """Force completion of `x`'s computation via a host copy of one leaf."""
+    """Force completion of `x`'s computation via a host copy of ONE ELEMENT.
+
+    One element, not one leaf: device->host transfers ride the same slow
+    tunnel as everything else here (~30 MB/s measured), so fetching a whole
+    result array would time the copy, not the compute.  TPU programs run in
+    order on the stream, so the element slice (a separate tiny program)
+    completes only after the producing program has."""
     leaves = jax.tree_util.tree_leaves(x)
     if leaves:
-        np.asarray(jax.device_get(leaves[0])).ravel()
+        leaf = leaves[0]
+        elem = leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf
+        np.asarray(jax.device_get(elem))
     return x
 
 

@@ -32,7 +32,8 @@ def main():
     ap.add_argument("-b", "--batch", type=int, default=4)
     ap.add_argument("-k", type=int, default=14)
     ap.add_argument("--window", type=int, default=2)
-    ap.add_argument("--impl", default="block", choices=["block", "banded"])
+    ap.add_argument("--impl", default="block",
+                    choices=["block", "banded", "masked"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--reps", type=int, default=3)
@@ -93,21 +94,25 @@ def main():
         # full step is the kNN cost inside the fused program
         from nbody_tpu.models import shiftinv
         from nbody_tpu.models.registry import (Model, _graph_geometry,
-                                               _make_knn, _resolve_band,
+                                               _make_knn, _make_masks,
+                                               _resolve_band,
                                                _mixed_precision)
         band = _resolve_band(cfg, box)
         knn = _make_knn(cfg, box, band)
         pos0, _ = _graph_geometry(jnp.asarray(x[..., :6]), box)
         idx_const = jax.device_get(jax.jit(knn)(pos0))
-        lattice = ((cells, args.window) if args.impl == "block" else None)
+        lattice = ((cells, args.window)
+                   if args.impl in ("block", "masked") else None)
         dt = jnp.dtype(args.dtype)
 
         def apply_fixed(params, x_in):
             pos, za = _graph_geometry(x_in, box)
+            idx = jnp.asarray(idx_const)
+            masks = _make_masks(cfg, lattice, idx, dt)
             return shiftinv.shiftinv_model(
                 params, pos.astype(dt), za.astype(dt),
-                jnp.asarray(idx_const), box, band=band,
-                remat=args.remat, lattice=lattice)
+                idx, box, band=band,
+                remat=args.remat, lattice=lattice, masks=masks)
 
         model = _mixed_precision(
             Model(model.init, apply_fixed, model.family), dt)

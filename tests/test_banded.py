@@ -188,3 +188,70 @@ def test_default_band_covers_coordinate_wrap():
     v = rng.normal(size=(cells ** 3, 4)).astype(np.float32)
     g = np.asarray(banded_gather(jnp.asarray(v), idx[0], band))
     np.testing.assert_array_equal(g, v[np.asarray(idx[0])])
+
+
+def test_masked_ops_match_gather_semantics():
+    """Precomputed-mask gather/scatter (XLA einsum path) == direct indexing,
+    and its autodiff transposes correctly (grad of sum(gather) == in-degree
+    broadcast)."""
+    from nbody_tpu.ops.blocked import block_masks, masked_gather, masked_scatter_add
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import (features_from_raw, split_batch,
+                                        positions_from_inputs)
+
+    cells, W, K2, C2, B2 = 8, 2, 6, 5, 2
+    n = cells ** 3
+    rng = np.random.default_rng(3)
+    raw = synthetic_raw_cubes(num_samples=B2, cells=cells, seed=7)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=4.0 * cells))
+    idx = knn_periodic_lattice_batch(pos, K2, cells=cells, window=W)
+    v = jnp.asarray(rng.normal(size=(B2, n, C2)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(B2, n, K2, C2)).astype(np.float32))
+
+    masks = block_masks(idx, cells, W, dtype=jnp.float32)
+    # each mask row selects exactly one patch site
+    np.testing.assert_array_equal(np.asarray(jnp.sum(masks, axis=-1)), 1.0)
+
+    g = np.asarray(masked_gather(v, masks, cells, W))
+    i_np = np.asarray(idx)
+    for b in range(B2):
+        np.testing.assert_allclose(g[b], np.asarray(v)[b][i_np[b]], atol=1e-5)
+
+    s = np.asarray(masked_scatter_add(vals, masks, cells, W))
+    for b in range(B2):
+        ref = np.zeros((n, C2), np.float32)
+        np.add.at(ref, i_np[b].reshape(-1),
+                  np.asarray(vals)[b].reshape(-1, C2))
+        np.testing.assert_allclose(s[b], ref, atol=1e-4)
+
+    # AD: d(sum gather)/d(values)[j] == in-degree of j (the transposed einsum
+    # reads the same masks — no custom VJP involved)
+    grad = jax.grad(lambda vv: jnp.sum(masked_gather(vv, masks, cells, W)))(v)
+    deg = np.zeros((B2, n), np.float32)
+    for b in range(B2):
+        np.add.at(deg[b], i_np[b].reshape(-1), 1.0)
+    np.testing.assert_allclose(np.asarray(grad)[..., 0], deg, atol=1e-4)
+
+
+def test_masked_model_matches_block_model():
+    """shiftinv forward with neighbor_impl='masked' == 'block' (f32, CPU)."""
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=5)
+    x_in, _ = split_batch(features_from_raw(raw))
+    x_in = jnp.asarray(x_in)
+    outs = {}
+    for impl in ("block", "masked"):
+        cfg = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
+                            k_neighbors=6, knn_window=2, neighbor_impl=impl)
+        model = build_model(cfg, box=4.0 * cells)
+        params = model.init(jax.random.PRNGKey(0))
+        outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
+    np.testing.assert_allclose(outs["masked"], outs["block"],
+                               rtol=1e-4, atol=1e-5)

@@ -305,3 +305,28 @@ def test_layer_transpose_matmul_commute():
     a = _transpose(jnp.einsum("...c,cq->...q", h, w1), g, None)
     b = jnp.einsum("...c,cq->...q", _transpose(h, g, None), w1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shiftinv15_masked_matches_block():
+    """shiftinv15 forward with neighbor_impl='masked' == 'block' (f32, CPU)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=11)
+    x_in, _ = split_batch(features_from_raw(raw))
+    x_in = jnp.asarray(x_in)
+    outs = {}
+    for impl in ("block", "masked"):
+        cfg = C.ModelConfig(family="shiftinv15", channels=(3, 8, 8, 3),
+                            k_neighbors=6, knn_window=2, neighbor_impl=impl)
+        model = build_model(cfg, box=4.0 * cells)
+        params = model.init(jax.random.PRNGKey(0))
+        outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
+    np.testing.assert_allclose(outs["masked"], outs["block"],
+                               rtol=1e-4, atol=1e-5)
