@@ -145,16 +145,31 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     return int(jax.device_get(band_violations(idx, eff)))
 
 
+# the shared mask array costs B*N*K*patch bytes of HBM; above this cap the
+# in-VMEM Pallas block kernels are the right trade (v5e HBM is 16 GiB and
+# the activations need the rest)
+MASKED_BYTES_CAP = 8 * 1024 ** 3
+
+
 def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
     """Precomputed shared one-hot masks (neighbor_impl='masked'): one
     (B, NB, ET, P) array per step, consumed by every neighbor op fwd+bwd
     (ops/blocked.block_masks; PERF.md shared-mask formulation)."""
     if cfg.neighbor_impl != "masked" or lat is None:
         return None
-    from nbody_tpu.ops.blocked import block_masks, CORE
+    from nbody_tpu.ops.blocked import block_masks, block_geometry, CORE
     if any(lat[0] % d for d in CORE):
         return None
     mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    b, n, k = idx.shape
+    _, ext = block_geometry(lat[0], lat[1])
+    est = b * n * k * ext[0] * ext[1] * ext[2] * jnp.dtype(mask_dt).itemsize
+    if est > MASKED_BYTES_CAP:
+        import warnings
+        warnings.warn(
+            f"neighbor_impl='masked' would allocate {est / 2**30:.1f} GiB of "
+            "masks; falling back to the Pallas block kernels", stacklevel=2)
+        return None
     return block_masks(idx, lat[0], lat[1], dtype=mask_dt)
 
 

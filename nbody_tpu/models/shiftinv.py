@@ -124,6 +124,73 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
     return h
 
 
+def _shift_inv_layer_blocks(hB: jnp.ndarray, layer_params, masks, cells,
+                            window, counts, is_last: bool):
+    """4-op layer on BLOCK-MAJOR edges hB (b, NB, R, K, C) via the shared
+    masks (ops/blocked).  Semantically identical to shift_inv_layer; keeping
+    the big edge tensors block-major drops two full-tensor reorders per
+    neighbor op (the node-field hops through cube layout are K times
+    smaller)."""
+    from nbody_tpu.ops.blocked import (masked_gather_blocks,
+                                       masked_scatter_add_blocks)
+    w = layer_params["W"]
+    bias = layer_params["B"][0]
+    dt = hB.dtype
+    c_in, q = w.shape[1], w.shape[2]
+
+    h1 = jnp.einsum("bnrkc,cq->bnrkq", hB, w[0], preferred_element_type=dt)
+
+    def seg_mean(e):
+        s = masked_scatter_add_blocks(e, masks, cells, window)   # (b, N, C)
+        return s / jnp.maximum(counts, 1.0)[..., None]
+
+    if q < c_in:
+        hw = jnp.einsum("bnrkc,cq->bnrkq", hB, w[1], preferred_element_type=dt)
+        h2 = masked_gather_blocks(seg_mean(hw), masks, cells, window)
+    else:
+        pooled = masked_gather_blocks(seg_mean(hB), masks, cells, window)
+        h2 = jnp.einsum("bnrkc,cq->bnrkq", pooled, w[1],
+                        preferred_element_type=dt)
+
+    pooled_cols = jnp.mean(hB, axis=3)                           # (b, NB, R, C)
+    h3 = jnp.einsum("bnrc,cq->bnrq", pooled_cols, w[2],
+                    preferred_element_type=dt)[:, :, :, None, :]
+    pooled_all = jnp.mean(hB, axis=(1, 2, 3))                    # (b, C)
+    h4 = jnp.einsum("bc,cq->bq", pooled_all, w[3],
+                    preferred_element_type=dt)[:, None, None, None, :]
+
+    h_out = h1 + h2 + h3 + h4 + bias
+    if is_last:
+        return jnp.mean(h_out, axis=3)                           # (b, NB, R, q)
+    return h_out
+
+
+def _shiftinv_network_blocks(params, edges: jnp.ndarray, masks, lattice,
+                             activation, remat: bool) -> jnp.ndarray:
+    """Masked-path network: edges enter/leave in cube layout exactly once."""
+    from nbody_tpu.ops.blocked import (edges_cube_to_blocks,
+                                       nodes_blocks_to_cube,
+                                       masked_scatter_add_blocks)
+    cells, window = lattice
+    b, n, k, _ = edges.shape
+    hB = edges_cube_to_blocks(edges, cells)
+    ones = jnp.ones(hB.shape[:4] + (1,), edges.dtype)
+    counts = jax.lax.stop_gradient(
+        masked_scatter_add_blocks(ones, masks, cells, window))[..., 0]
+    num_layers = len(params)
+    for i, layer_params in enumerate(params):
+        is_last = i == num_layers - 1
+        fn = functools.partial(_shift_inv_layer_blocks, masks=masks,
+                               cells=cells, window=window, counts=counts,
+                               is_last=is_last)
+        if remat:
+            fn = jax.checkpoint(fn)
+        hB = fn(hB, layer_params)
+        if not is_last:
+            hB = activation(hB)
+    return nodes_blocks_to_cube(hB, cells)                       # (b, N, q)
+
+
 def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
                    idx: jnp.ndarray, box: float,
                    activation=jax.nn.relu,
@@ -137,6 +204,9 @@ def shiftinv_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     access through the 3D-block kernels.  Returns (b, N, 3..q).
     """
     edges = edge_features_za(pos, idx, za_disp, box, band, lattice, masks)
+    if masks is not None and lattice is not None:
+        return _shiftinv_network_blocks(params, edges, masks, lattice,
+                                        activation, remat)
     return shiftinv_network(params, edges, idx, activation, band, remat,
                             lattice, masks)
 
@@ -171,8 +241,12 @@ def shiftinv_vel_model(params, pos: jnp.ndarray, za_disp: jnp.ndarray,
     edges = edge_features_with_nodes(pos, idx, vel, box, band,
                                      za_disp=za_disp, lattice=lattice,
                                      masks=masks)  # (b,N,K,9)
-    net = shiftinv_network(params["layers"], edges, idx, activation, band,
-                           remat, lattice, masks)
+    if masks is not None and lattice is not None:
+        net = _shiftinv_network_blocks(params["layers"], edges, masks,
+                                       lattice, activation, remat)
+    else:
+        net = shiftinv_network(params["layers"], edges, idx, activation, band,
+                               remat, lattice, masks)
     t = params["T"]
     scale = jnp.concatenate([jnp.full((3,), 1.0, net.dtype) * t[0],
                              jnp.full((net.shape[-1] - 3,), 1.0, net.dtype) * t[1]])

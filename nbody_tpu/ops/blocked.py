@@ -226,6 +226,46 @@ def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
     return patches_fold(acc, cells, window).astype(vals.dtype)
 
 
+def masked_gather_blocks(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
+                         window: int) -> jnp.ndarray:
+    """Cube node field (B, N, C) -> BLOCK-MAJOR edges (B, NB, R, K, C).
+
+    Like masked_gather but skips the blocks_to_cube transpose of the big
+    edge tensor: callers that keep edge activations block-major (the masked
+    shiftinv network) avoid two full edge-tensor reorders per op."""
+    b, n, c = values.shape
+    bx, by, bz = CORE
+    r = bx * by * bz
+    k = masks.shape[2] // r
+    patches = block_patches(values, cells, window)        # (B, NB, P, C)
+    out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, -1, r, k, c).astype(values.dtype)
+
+
+def masked_scatter_add_blocks(vals: jnp.ndarray, masks: jnp.ndarray,
+                              cells: int, window: int) -> jnp.ndarray:
+    """BLOCK-MAJOR edges (B, NB, R, K, C) -> cube node sums (B, N, C)."""
+    b, nb, r, k, c = vals.shape
+    v = vals.reshape(b, nb, r * k, c)
+    acc = jnp.einsum("bnep,bnec->bnpc", masks, v.astype(masks.dtype),
+                     preferred_element_type=jnp.float32)
+    return patches_fold(acc, cells, window).astype(vals.dtype)
+
+
+def edges_cube_to_blocks(edges: jnp.ndarray, cells: int) -> jnp.ndarray:
+    """(B, N, K, C) -> (B, NB, R, K, C) block-major edge activations."""
+    b, n, k, c = edges.shape
+    bx, by, bz = CORE
+    v = cube_to_blocks(edges.reshape(b, n, k * c), cells)
+    return v.reshape(b, -1, bx * by * bz, k, c)
+
+
+def nodes_blocks_to_cube(x: jnp.ndarray, cells: int) -> jnp.ndarray:
+    """(B, NB, R, C) block-major node field -> (B, N, C)."""
+    return blocks_to_cube(x, cells)
+
+
 def block_gather(values: jnp.ndarray, idx: jnp.ndarray, cells: int,
                  window: int, fast: bool = True,
                  interpret: bool = False) -> jnp.ndarray:

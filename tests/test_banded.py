@@ -255,3 +255,25 @@ def test_masked_model_matches_block_model():
         outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
     np.testing.assert_allclose(outs["masked"], outs["block"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_masked_vel_model_matches_block_model():
+    """shiftinv_vel forward with neighbor_impl='masked' == 'block' (f32)."""
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=9)
+    x = features_from_raw(raw)
+    x_in = jnp.asarray(x[..., :9])
+    outs = {}
+    for impl in ("block", "masked"):
+        cfg = C.ModelConfig(family="shiftinv_vel", channels=(9, 8, 8, 6),
+                            k_neighbors=6, knn_window=2, neighbor_impl=impl)
+        model = build_model(cfg, box=4.0 * cells)
+        params = model.init(jax.random.PRNGKey(0))
+        outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
+    np.testing.assert_allclose(outs["masked"], outs["block"],
+                               rtol=1e-4, atol=1e-5)
