@@ -78,7 +78,7 @@ def measure_tpu_graph_step() -> float:
     # distance-sum comparison; zero tolerance for missed edges).
     cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
                         k_neighbors=K, dtype="bfloat16", knn_window=2,
-                        neighbor_impl="block")
+                        neighbor_impl="masked")
     # refuse to report a number when the graph is not provably covered —
     # the guard against the silent edge-dropping class that forced the
     # round-1 46.6x retraction (PERF.md)

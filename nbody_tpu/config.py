@@ -138,8 +138,10 @@ class ModelConfig:
     #              patch size (scales to 64^3+), minimal HBM.
     #   "banded" — flat index-slab one-hot matmuls (no cube assumption).
     # "masked"/"block" require lattice kNN on a full cube; non-cube data
-    # falls back to the banded path.  See PERF.md.
-    neighbor_impl: str = "block"
+    # falls back to the banded path; "masked" falls back to "block" above
+    # its HBM cap (models/registry.MASKED_BYTES_CAP).  Measured at 32^3
+    # b4 K14: masked 327 ms/step vs block 590 ms (PERF.md).
+    neighbor_impl: str = "masked"
 
     @property
     def num_layers(self) -> int:

@@ -157,12 +157,12 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
     (ops/blocked.block_masks; PERF.md shared-mask formulation)."""
     if cfg.neighbor_impl != "masked" or lat is None:
         return None
-    from nbody_tpu.ops.blocked import block_masks, block_geometry, CORE
-    if any(lat[0] % d for d in CORE):
+    from nbody_tpu.ops.blocked import block_masks, block_geometry, MASKED_CORE
+    if any(lat[0] % d for d in MASKED_CORE):
         return None
     mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape
-    _, ext = block_geometry(lat[0], lat[1])
+    _, ext = block_geometry(lat[0], lat[1], MASKED_CORE)
     est = b * n * k * ext[0] * ext[1] * ext[2] * jnp.dtype(mask_dt).itemsize
     if est > MASKED_BYTES_CAP:
         import warnings

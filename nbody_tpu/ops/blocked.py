@@ -41,36 +41,50 @@ import jax.numpy as jnp
 # set_core() for experiments.
 CORE = (4, 4, 8)
 
+# Core for the MASKED (precomputed-shared-one-hot, XLA einsum) path.  That
+# path has NO per-grid-step floor, and its dominant cost is streaming the
+# (B, NB, ET, P) mask array from HBM — bytes scale with P = prod(core+2w),
+# so a SMALL core wins: (2,2,4) -> P=288 vs (4,4,8) -> P=768, a 2.7x mask
+# traffic cut, while (ET=224, P=288) dots still tile the MXU acceptably.
+MASKED_CORE = (2, 2, 4)
+
 
 def set_core(core: Tuple[int, int, int]):
-    """Swap the core block shape (performance experiments only; jitted
-    callables trace the value at trace time, so swap BEFORE building/jitting
-    a model and do not reuse previously-jitted functions)."""
+    """Swap the Pallas-path core block shape (performance experiments only;
+    jitted callables trace the value at trace time, so swap BEFORE
+    building/jitting a model and do not reuse previously-jitted
+    functions)."""
     global CORE
     CORE = tuple(core)
 
 
-def block_geometry(cells: int, window: int):
-    bx, by, bz = CORE
+def set_masked_core(core: Tuple[int, int, int]):
+    """Swap the masked-path core block shape (same caveats as set_core)."""
+    global MASKED_CORE
+    MASKED_CORE = tuple(core)
+
+
+def block_geometry(cells: int, window: int, core=None):
+    bx, by, bz = core or CORE
     assert cells % bx == 0 and cells % by == 0 and cells % bz == 0
     nb = (cells // bx, cells // by, cells // bz)
     ext = (bx + 2 * window, by + 2 * window, bz + 2 * window)
     return nb, ext
 
 
-def cube_to_blocks(values: jnp.ndarray, cells: int) -> jnp.ndarray:
+def cube_to_blocks(values: jnp.ndarray, cells: int, core=None) -> jnp.ndarray:
     """(B, N, C) z-major -> (B, NB, R, C) block-major. Pure reshape/transpose."""
     b, n, c = values.shape
-    bx, by, bz = CORE
+    bx, by, bz = core or CORE
     v = values.reshape(b, cells // bx, bx, cells // by, by, cells // bz, bz, c)
     v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return v.reshape(b, -1, bx * by * bz, c)
 
 
-def blocks_to_cube(blocks: jnp.ndarray, cells: int) -> jnp.ndarray:
+def blocks_to_cube(blocks: jnp.ndarray, cells: int, core=None) -> jnp.ndarray:
     """(B, NB, R, C) block-major -> (B, N, C) z-major."""
     b, nb, r, c = blocks.shape
-    bx, by, bz = CORE
+    bx, by, bz = core or CORE
     v = blocks.reshape(b, cells // bx, cells // by, cells // bz, bx, by, bz, c)
     v = v.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return v.reshape(b, cells ** 3, c)
@@ -81,13 +95,14 @@ def _wrap_pad(grid: jnp.ndarray, w: int) -> jnp.ndarray:
     return jnp.pad(grid, ((0, 0), (w, w), (w, w), (w, w), (0, 0)), mode="wrap")
 
 
-def block_patches(values: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+def block_patches(values: jnp.ndarray, cells: int, window: int,
+                  core=None) -> jnp.ndarray:
     """(B, N, C) -> (B, NB, P, C): each core block's dilated patch.
 
     Built with per-axis strided slices of the padded cube (ex+ey+ez ops)."""
     b, n, c = values.shape
-    bx, by, bz = CORE
-    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    bx, by, bz = core or CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window, core)
     padded = _wrap_pad(values.reshape(b, cells, cells, cells, c), window)
 
     # axis by axis: gather all window-extent offsets with stride = core size
@@ -102,14 +117,15 @@ def block_patches(values: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
     return pz.reshape(b, nbx * nby * nbz, ex * ey * ez, c)
 
 
-def patches_fold(acc: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+def patches_fold(acc: jnp.ndarray, cells: int, window: int,
+                 core=None) -> jnp.ndarray:
     """(B, NB, P, C) per-block accumulations -> (B, N, C) summed cube.
 
     Exact transpose of block_patches: strided slice-adds into the padded
     cube, then circular fold of the pad rings."""
     b, nb, p, c = acc.shape
-    bx, by, bz = CORE
-    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    bx, by, bz = core or CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window, core)
     w = window
     a = acc.reshape(b, nbx, nby, nbz, ex, ey, ez, c)
     a = a.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (B, nbx, ex, nby, ey, nbz, ez, C)
@@ -143,12 +159,13 @@ def patches_fold(acc: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
     return out.reshape(b, cells ** 3, c)
 
 
-def edge_block_positions(idx: jnp.ndarray, cells: int, window: int) -> jnp.ndarray:
+def edge_block_positions(idx: jnp.ndarray, cells: int, window: int,
+                         core=None) -> jnp.ndarray:
     """(B, N, K) neighbor ids -> (B, NB, R*K) flat positions within each core
     block's dilated patch (block-major edge order)."""
     b, n, k = idx.shape
-    bx, by, bz = CORE
-    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window)
+    bx, by, bz = core or CORE
+    (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window, core)
     w = window
 
     ii = jnp.arange(n, dtype=jnp.int32)
@@ -170,12 +187,12 @@ def edge_block_positions(idx: jnp.ndarray, cells: int, window: int) -> jnp.ndarr
     lz = (z % bz)[None, :, None] + w + dz
     p = (lx * ey + ly) * ez + lz                     # (B, N, K)
     # reorder particles to block-major and flatten edges per block
-    p_blocks = cube_to_blocks(p.astype(jnp.int32), cells)   # (B, NB, R, K)
+    p_blocks = cube_to_blocks(p.astype(jnp.int32), cells, core)  # (B, NB, R, K)
     return p_blocks.reshape(b, -1, bx * by * bz * k)
 
 
 def block_masks(idx: jnp.ndarray, cells: int, window: int,
-                dtype=jnp.bfloat16) -> jnp.ndarray:
+                dtype=jnp.bfloat16, core=None) -> jnp.ndarray:
     """(B, N, K) lattice-kNN ids -> (B, NB, ET, P) one-hot selection masks.
 
     The masks depend only on idx, so they are computed ONCE per train step
@@ -189,81 +206,90 @@ def block_masks(idx: jnp.ndarray, cells: int, window: int,
     side; pass dtype=jnp.float32 for exact-mode dots.
     """
     b, n, k = idx.shape
-    _, (ex, ey, ez) = block_geometry(cells, window)
-    p = edge_block_positions(idx, cells, window)          # (B, NB, ET)
+    core = core or MASKED_CORE
+    _, (ex, ey, ez) = block_geometry(cells, window, core)
+    p = edge_block_positions(idx, cells, window, core)    # (B, NB, ET)
     lane = jnp.arange(ex * ey * ez, dtype=jnp.int32)
     return jax.lax.stop_gradient((p[..., None] == lane).astype(dtype))
 
 
 def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                  window: int) -> jnp.ndarray:
+                  window: int, core=None) -> jnp.ndarray:
     """values (B, N, C), masks from block_masks -> (B, N, K, C).
 
     One XLA batched matmul per call: (NB x) (ET, P) @ (P, C)."""
     b, n, c = values.shape
-    bx, by, bz = CORE
+    core = core or MASKED_CORE
+    bx, by, bz = core
     r = bx * by * bz
     k = masks.shape[2] // r
-    patches = block_patches(values, cells, window)        # (B, NB, P, C)
+    patches = block_patches(values, cells, window, core)  # (B, NB, P, C)
     out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
     out = out.reshape(b, -1, r, k * c)
-    return blocks_to_cube(out, cells).reshape(b, n, k, c).astype(values.dtype)
+    return blocks_to_cube(out, cells, core).reshape(b, n, k, c).astype(
+        values.dtype)
 
 
 def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                       window: int) -> jnp.ndarray:
+                       window: int, core=None) -> jnp.ndarray:
     """vals (B, N, K, C), masks from block_masks -> (B, N, C) sums by id.
 
     The transposed batched matmul of masked_gather, plus the overlap-add
     fold of per-block patch accumulations."""
     b, n, k, c = vals.shape
-    bx, by, bz = CORE
-    v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells)
+    core = core or MASKED_CORE
+    bx, by, bz = core
+    v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells, core)
     v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
     acc = jnp.einsum("bnep,bnec->bnpc", masks, v_blocks.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
-    return patches_fold(acc, cells, window).astype(vals.dtype)
+    return patches_fold(acc, cells, window, core).astype(vals.dtype)
 
 
 def masked_gather_blocks(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                         window: int) -> jnp.ndarray:
+                         window: int, core=None) -> jnp.ndarray:
     """Cube node field (B, N, C) -> BLOCK-MAJOR edges (B, NB, R, K, C).
 
     Like masked_gather but skips the blocks_to_cube transpose of the big
     edge tensor: callers that keep edge activations block-major (the masked
     shiftinv network) avoid two full edge-tensor reorders per op."""
     b, n, c = values.shape
-    bx, by, bz = CORE
+    core = core or MASKED_CORE
+    bx, by, bz = core
     r = bx * by * bz
     k = masks.shape[2] // r
-    patches = block_patches(values, cells, window)        # (B, NB, P, C)
+    patches = block_patches(values, cells, window, core)  # (B, NB, P, C)
     out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, -1, r, k, c).astype(values.dtype)
 
 
 def masked_scatter_add_blocks(vals: jnp.ndarray, masks: jnp.ndarray,
-                              cells: int, window: int) -> jnp.ndarray:
+                              cells: int, window: int,
+                              core=None) -> jnp.ndarray:
     """BLOCK-MAJOR edges (B, NB, R, K, C) -> cube node sums (B, N, C)."""
     b, nb, r, k, c = vals.shape
+    core = core or MASKED_CORE
     v = vals.reshape(b, nb, r * k, c)
     acc = jnp.einsum("bnep,bnec->bnpc", masks, v.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
-    return patches_fold(acc, cells, window).astype(vals.dtype)
+    return patches_fold(acc, cells, window, core).astype(vals.dtype)
 
 
-def edges_cube_to_blocks(edges: jnp.ndarray, cells: int) -> jnp.ndarray:
+def edges_cube_to_blocks(edges: jnp.ndarray, cells: int,
+                         core=None) -> jnp.ndarray:
     """(B, N, K, C) -> (B, NB, R, K, C) block-major edge activations."""
     b, n, k, c = edges.shape
-    bx, by, bz = CORE
-    v = cube_to_blocks(edges.reshape(b, n, k * c), cells)
+    core = core or MASKED_CORE
+    bx, by, bz = core
+    v = cube_to_blocks(edges.reshape(b, n, k * c), cells, core)
     return v.reshape(b, -1, bx * by * bz, k, c)
 
 
-def nodes_blocks_to_cube(x: jnp.ndarray, cells: int) -> jnp.ndarray:
+def nodes_blocks_to_cube(x: jnp.ndarray, cells: int, core=None) -> jnp.ndarray:
     """(B, NB, R, C) block-major node field -> (B, N, C)."""
-    return blocks_to_cube(x, cells)
+    return blocks_to_cube(x, cells, core or MASKED_CORE)
 
 
 def block_gather(values: jnp.ndarray, idx: jnp.ndarray, cells: int,

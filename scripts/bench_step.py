@@ -48,7 +48,9 @@ def main():
                     help="force a JAX platform (cpu for sanity checks)")
     args = ap.parse_args()
 
-    if args.platform != "auto":
+    if args.platform == "default":
+        pass                       # caller already probed; keep site platform
+    elif args.platform != "auto":
         import jax
         jax.config.update("jax_platforms", args.platform)
     else:
@@ -69,7 +71,10 @@ def main():
     from nbody_tpu.train.trainer import init_train_state, make_train_step
     if args.core:
         import nbody_tpu.ops.blocked as blocked
-        blocked.set_core(tuple(args.core))
+        if args.impl == "masked":
+            blocked.set_masked_core(tuple(args.core))
+        else:
+            blocked.set_core(tuple(args.core))
 
     cells, b = args.cells, args.batch
     n = cells ** 3
