@@ -80,8 +80,10 @@ def main():
     n = cells ** 3
     box = 4.0 * cells
     raw = synthetic_raw_cubes(num_samples=b, cells=cells, seed=0)
-    x = features_from_raw(raw)
-    channels = tuple(C.GRAPH_CHANNELS)
+    vel = args.family == "shiftinv_vel"
+    x = features_from_raw(raw, include_velocity=vel)
+    n_in = 9 if vel else 6
+    channels = tuple(C.GRAPH_VEL_CHANNELS if vel else C.GRAPH_CHANNELS)
     cfg = C.ModelConfig(family=args.family, channels=channels,
                         k_neighbors=args.k, dtype=args.dtype,
                         knn_window=args.window, neighbor_impl=args.impl,
@@ -124,8 +126,8 @@ def main():
 
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)
-    x_in = jnp.asarray(x[..., :6])
-    y = jnp.asarray(x[..., 6:])
+    x_in = jnp.asarray(x[..., :n_in])
+    y = jnp.asarray(x[..., n_in:])
 
     if args.scan:
         from nbody_tpu.train.trainer import make_train_scan
@@ -136,7 +138,7 @@ def main():
 
         def step_all():
             nonlocal state
-            state, losses = scan_fn(state, chunk, 6)
+            state, losses = scan_fn(state, chunk, n_in)
             return float(losses[-1])
 
         t0 = time.perf_counter()

@@ -43,10 +43,14 @@ def main():
     ap.add_argument("--probe-only", action="store_true")
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-banded", action="store_true")
+    ap.add_argument("--skip-block", action="store_true")
     ap.add_argument("--core", type=int, nargs=3, default=None,
                     help="block core shape to test, e.g. --core 4 8 8")
     ap.add_argument("--channels", type=int, nargs="+", default=[64, 32, 16])
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--masked", action="store_true",
+                    help="profile the shared-mask einsum ops")
+    ap.add_argument("--masked-core", type=int, nargs=3, default=None)
     args = ap.parse_args()
 
     ok = probe_tunnel()
@@ -101,7 +105,7 @@ def main():
 
     band = default_band(cells, window=w)
     rng = np.random.default_rng(0)
-    for c in args.channels:
+    for c in ([] if args.skip_block else args.channels):
         v = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
         ev = jnp.asarray(rng.normal(size=(b, n, k, c)).astype(np.float32))
         bench(f"block_gather   C={c} core={CORE}",
@@ -114,6 +118,37 @@ def main():
             bench(f"banded_scatter C={c} band={band}",
                   lambda vv, ii: banded_scatter_add_pallas(vv, ii, band),
                   ev, idx)
+
+    if args.masked:
+        from nbody_tpu.ops.blocked import (
+            MASKED_CORE, block_masks, masked_gather_blocks,
+            masked_scatter_add_blocks)
+        mcore = tuple(args.masked_core) if args.masked_core else MASKED_CORE
+        r = mcore[0] * mcore[1] * mcore[2]
+        nb = n // r
+        bench(f"block_masks core={mcore}",
+              lambda ii: block_masks(ii, cells, w, core=mcore), idx)
+        masks = jax.jit(
+            lambda ii: block_masks(ii, cells, w, core=mcore))(idx)
+        masks = jax.block_until_ready(masks)
+        for c in args.channels:
+            v = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+            eb = jnp.asarray(rng.normal(size=(b, nb, r, k, c)
+                                        ).astype(np.float32)
+                             ).astype(jnp.bfloat16)
+            bench(f"masked_gather_blocks  C={c} core={mcore}",
+                  lambda vv, mm: masked_gather_blocks(vv, mm, cells, w,
+                                                      core=mcore), v, masks)
+            bench(f"masked_scatter_blocks C={c} core={mcore}",
+                  lambda ee, mm: masked_scatter_add_blocks(ee, mm, cells, w,
+                                                           core=mcore),
+                  eb, masks)
+            bench(f"masked gather VJP     C={c} core={mcore}",
+                  lambda ee, mm, vv: jax.vjp(
+                      lambda u: masked_gather_blocks(u, mm, cells, w,
+                                                     core=mcore), vv
+                  )[1](ee)[0], eb, masks, v)
 
     if not args.skip_step:
         import optax
