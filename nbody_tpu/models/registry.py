@@ -113,11 +113,27 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     k = cfg.k_neighbors
     pos_norm = jnp.mod(pos / box, 1.0)
     from nbody_tpu.ops.knn import knn_periodic_batch
+    # The exact O(N^2) on-device search is the verifier at bench scale, but
+    # at 64^3+ it has crashed this machine's TPU worker (a ~512 x 262144
+    # distance/top_k program over the tunnel); above the threshold use the
+    # host sklearn ghost-padding search (the reference's own algorithm,
+    # baseline_cpu.pbc_knn_host) — exact either way.
+    def exact_knn(pn):
+        if pn.shape[-2] > 100_000:
+            from nbody_tpu.baseline_cpu import pbc_knn_host
+            # ghost shell must exceed the kNN radius (~2.2 grid spacings
+            # for K<=~30 at these densities): 4 spacings, min 0.1
+            thr = max(0.1, 4.0 * pn.shape[-2] ** (-1.0 / 3.0))
+            return np.stack([pbc_knn_host(np.asarray(jax.device_get(pb)), k,
+                                          boundary_threshold=thr)
+                             for pb in pn])
+        return jax.device_get(knn_periodic_batch(pn, k))
+
     if cfg.knn_method == "lattice" and n == cells ** 3:
         from nbody_tpu.ops.knn import knn_periodic_lattice_batch
         idx_lat = jax.device_get(knn_periodic_lattice_batch(
             pos_norm, k, cells=cells, window=cfg.knn_window))
-        idx_ex = jax.device_get(knn_periodic_batch(pos_norm, k))
+        idx_ex = exact_knn(pos_norm)
         p = np.asarray(jax.device_get(pos_norm))
 
         def ksum(idx_np):
@@ -141,7 +157,7 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
     if eff is None:
         return 0
     from nbody_tpu.ops.banded import band_violations
-    idx = knn_periodic_batch(pos_norm, k)
+    idx = jnp.asarray(exact_knn(pos_norm))
     return int(jax.device_get(band_violations(idx, eff)))
 
 

@@ -138,17 +138,6 @@ def block_edge_features_za(pos: jnp.ndarray, graph: BlockSymGraph,
 # The 15 operators in block form
 # ---------------------------------------------------------------------------
 
-def _col_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
-              masks=None) -> jnp.ndarray:
-    """Mean over edges grouped by COLUMN id -> (b, N, C).
-
-    Block A cols are idx (banded scatter); block B cols are the row n
-    itself (a free masked sum over K)."""
-    sums = neighbor_scatter_add(h[:, 0], g.idx, band, lattice, masks=masks)
-    sums += jnp.sum(h[:, 1] * g.mask_b[..., None], axis=2)
-    return sums / g.deg[..., None]
-
-
 def _row_pool(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
               masks=None) -> jnp.ndarray:
     """Mean over edges grouped by ROW id -> (b, N, C).
@@ -181,17 +170,42 @@ def _transpose(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
                masks=None) -> jnp.ndarray:
     """Edge transpose: value at (c, r) for each slot (r, c).
 
-    A-slot (n, k): the reverse edge is either A-slot (c, rev_pos) — fetched
-    as a banded gather of K-wide rows then a K-one-hot contraction — or the
-    masked B mirror (n, k).  B-slot transpose is its A mirror."""
+    A-slot (n, k): the reverse edge is either A-slot (c, rev_pos) — or the
+    masked B mirror (n, k).  B-slot transpose is its A mirror.
+
+    from_a[n,k] = ha[idx[n,k], rev_pos[n,k]] is computed as a scan over the
+    K source slots:  sum_j gather(ha[:, :, j, :])[n,k] * [rev_pos[n,k]==j].
+    Every tensor stays 4-D (b, N, K, C).  An earlier one-shot version
+    gathered K*C-wide rows then contracted a (b,N,K,K,C) intermediate —
+    6.1 GB unpadded (14 GB after TPU tile padding) at 32^3 b4 C64, an
+    instant HBM OOM; the scan's peak extra memory is one (b,N,K,C) slice,
+    and since gather is linear the scan saves no large AD residuals.
+
+    At narrow widths (K*C <= 256 channels) a single K*C-wide gather plus K
+    fused slice-multiplies is cheaper (one mask/band pass instead of K);
+    the slice form never builds the 5-D intermediate either."""
     bsz, _, n, k, c = h.shape
     ha = h[:, 0]
-    rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band,
-                                lattice, masks=masks)
-    rows_wide = rows_wide.reshape(bsz, n, k, k, c)   # [., n, k, j, .] = ha[idx[n,k], j]
     sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)          # (b, N, K, K)
-    from_a = jnp.einsum("bnkjc,bnkj->bnkc", rows_wide, sel,
-                        preferred_element_type=h.dtype)
+
+    if k * c <= 256:
+        rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band,
+                                    lattice, masks=masks)      # (b, N, K, K*C)
+        # [., n, k, j*C : (j+1)*C] = ha[idx[n,k], j, :]
+        from_a = sum(rows_wide[..., j * c:(j + 1) * c] * sel[..., j, None]
+                     for j in range(k))
+    else:
+        ha_by_slot = jnp.moveaxis(ha, 2, 0)                    # (K, b, N, C)
+        sel_by_slot = jnp.moveaxis(sel, 3, 0)                  # (K, b, N, K)
+
+        def body(acc, xs):
+            ha_j, sel_j = xs
+            gj = neighbor_gather(ha_j, g.idx, band, lattice, masks=masks)
+            return acc + gj * sel_j[..., None], None
+
+        from_a, _ = jax.lax.scan(
+            body, jnp.zeros((bsz, n, k, c), h.dtype),
+            (ha_by_slot, sel_by_slot))
     rev_exists = (1.0 - g.mask_b)[..., None]
     ta = from_a * rev_exists + h[:, 1] * g.mask_b[..., None]
     tb = ha * g.mask_b[..., None]
@@ -222,9 +236,17 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     def mm(x, wi):
         return jnp.einsum("...c,cq->...q", x, wi, preferred_element_type=dt)
 
+    c_in = h.shape[-1]
     h_d = h[:, 0, :, 0, :]                       # (b, N, C) diagonal
-    h_r = _col_pool(h, g, band, lattice, masks)  # pool rows  (by col)
-    h_c = _row_pool(h, g, band, lattice, masks)  # pool cols  (by row)
+    # both pools in ONE scatter (channel-concatenated): the col pool (mean
+    # by column id) scatters block A + free-sums masked block B; the row
+    # pool (mean by row id) free-sums block A + scatters masked block B —
+    # fusing the two scatters halves the passes over the masks/band
+    hb_m = h[:, 1] * g.mask_b[..., None]
+    s2 = neighbor_scatter_add(jnp.concatenate([h[:, 0], hb_m], axis=-1),
+                              g.idx, band, lattice, masks=masks)
+    h_r = (s2[..., :c_in] + jnp.sum(hb_m, axis=2)) / g.deg[..., None]
+    h_c = (jnp.sum(h[:, 0], axis=2) + s2[..., c_in:]) / g.deg[..., None]
     live = jnp.sum(g.deg, axis=-1)               # total live edges per sample
     h_a = (jnp.sum(h[:, 0], axis=(1, 2))
            + jnp.sum(h[:, 1] * g.mask_b[..., None], axis=(1, 2))) / live[:, None]
@@ -241,11 +263,15 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     else:
         out += mm(_transpose(h, g, band, lattice, masks), w[1])
     out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
-    out += _bcast_col(mm(h_r, w[3]), g, band, lattice, masks)    # 4 rows->rows
-    out += _bcast_row(mm(h_r, w[4]), g, band, lattice, masks)    # 5 rows->cols
+    # ops 4, 8, 14 all end in the same col-broadcast (a gather) and ops
+    # 5, 7, 15 in the same row-broadcast — gather and broadcast are linear,
+    # so each group is ONE gather of the summed projected fields instead
+    # of three (6 -> 2 mask/band passes per layer)
+    x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
+    x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
+    out += _bcast_col(x_col, g, band, lattice, masks)            # 4, 8, 14
+    out += _bcast_row(x_row, g, band, lattice, masks)            # 5, 7, 15
     out += _at_dia(mm(h_r, w[5]), h)                             # 6 rows->diag
-    out += _bcast_row(mm(h_c, w[6]), g, band, lattice, masks)    # 7 cols->cols
-    out += _bcast_col(mm(h_c, w[7]), g, band, lattice, masks)    # 8 cols->rows
     out += _at_dia(mm(h_c, w[8]), h)                             # 9 cols->diag
     out += mm(h_a, w[9])[:, None, None, None, :]                 # 10 all->all
     out += _at_dia(jnp.broadcast_to(mm(h_a, w[10])[:, None, :],
@@ -253,8 +279,6 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     out += mm(h_p, w[11])[:, None, None, None, :]                # 12 diag->all
     out += _at_dia(jnp.broadcast_to(mm(h_p, w[12])[:, None, :],
                                     (h.shape[0], n, w.shape[-1])), h)  # 13
-    out += _bcast_col(mm(h_d, w[13]), g, band, lattice, masks)   # 14 diag->rows
-    out += _bcast_row(mm(h_d, w[14]), g, band, lattice, masks)   # 15 diag->cols
     out += _at_dia(jnp.broadcast_to(bias[0], (h.shape[0], n, bias.shape[-1])), h)
     out += bias[1]
 

@@ -211,3 +211,36 @@ def test_bench_refuses_on_coverage_error(monkeypatch, capsys):
     captured = capsys.readouterr()
     assert '"vs_baseline"' not in captured.out
     assert "REFUSING" in captured.err
+
+
+def test_host_exact_knn_matches_device_exact():
+    """The large-N coverage path (host sklearn ghost-padding search,
+    baseline_cpu.pbc_knn_host with the adaptive ghost shell) must agree
+    with the on-device exact search — registry.coverage_violations swaps
+    to it above 100k particles because the 64^3 O(N^2) device program has
+    crashed this machine's TPU worker."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nbody_tpu.baseline_cpu import pbc_knn_host
+    from nbody_tpu.ops.knn import knn_periodic_batch
+
+    rng = np.random.default_rng(3)
+    cells, k = 8, 9
+    n = cells ** 3
+    base = (np.indices((cells,) * 3).reshape(3, -1).T + 0.5) / cells
+    pos = np.mod(base + rng.normal(scale=0.02, size=(2, n, 3)),
+                 1.0).astype(np.float32)
+    thr = max(0.1, 4.0 * n ** (-1.0 / 3.0))  # registry's adaptive shell
+    ih = np.stack([pbc_knn_host(p, k, boundary_threshold=thr) for p in pos])
+    ie = np.asarray(knn_periodic_batch(jnp.asarray(pos), k))
+    assert (ih[..., 0] == np.arange(n)).all()  # self at slot 0
+
+    def ksum(idx):
+        out = np.zeros(idx.shape[:2])
+        for b in range(2):
+            d = pos[b][idx[b]] - pos[b][:, None, :]
+            d -= np.round(d)
+            out[b] = np.sum(d.astype(np.float64) ** 2, axis=(1, 2))
+        return out
+
+    np.testing.assert_allclose(ksum(ih), ksum(ie), atol=1e-6)
