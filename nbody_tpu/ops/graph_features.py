@@ -94,14 +94,27 @@ def edge_features_with_nodes(pos: jnp.ndarray, idx: jnp.ndarray,
     carries the ZA displacement (graph.py:338-343), as in edge_features_za.
     Used by the velocity model (models/shiftinv.shiftinv_vel_model).
     """
-    edges = min_image_diff(neighbor_positions(pos, idx, box, band, lattice,
-                                              masks),
-                           pos[:, :, None, :], box)
+    n = pos.shape[-2]
+    cells = int(round(n ** (1.0 / 3.0)))
+    if cells ** 3 == n:
+        # one fused gather for [origin-site displacement, node features]
+        # (both ride the same masks/band pass; the displacement trick is
+        # neighbor_positions' bf16-safe form, reconstructed below)
+        sites = lattice_site_positions(
+            jnp.arange(n, dtype=jnp.int32), cells, box, pos.dtype)
+        disp = min_image_diff(pos, sites[None], box)
+        payload = jnp.concatenate([disp, node_feats], axis=-1)
+        g = neighbor_gather(payload, idx, band, lattice, masks=masks)
+        nbr = lattice_site_positions(idx, cells, box, pos.dtype) + g[..., :3]
+        cols = g[..., 3:]
+    else:
+        nbr = neighbor_gather(pos, idx, band, lattice, exact=True)
+        cols = neighbor_gather(node_feats, idx, band, lattice, masks=masks)
+    edges = min_image_diff(nbr, pos[:, :, None, :], box)
     if za_disp is not None:
         edges = edges.at[:, :, 0, :].set(za_disp)
     rows = jnp.broadcast_to(node_feats[:, :, None, :],
                             edges.shape[:3] + (node_feats.shape[-1],))
-    cols = neighbor_gather(node_feats, idx, band, lattice, masks=masks)
     feats = [edges, rows, cols]
     if redshift is not None:
         z = jnp.broadcast_to(redshift.reshape(-1, 1, 1, 1),

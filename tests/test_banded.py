@@ -277,3 +277,42 @@ def test_masked_vel_model_matches_block_model():
         outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
     np.testing.assert_allclose(outs["masked"], outs["block"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_masked_ops_exact_across_core_shapes():
+    """masked_gather / masked_scatter_add must be exact for every legal
+    core shape (the bench core sweep relies on set_masked_core; a wrong
+    geometry would silently corrupt the swept measurements)."""
+    import itertools
+    import numpy as np
+    import jax.numpy as jnp
+    from nbody_tpu.ops.blocked import (block_masks, masked_gather,
+                                       masked_scatter_add)
+
+    rng = np.random.default_rng(0)
+    cells, k, w, b, c = 8, 6, 2, 2, 5
+    n = cells ** 3
+    coords = np.array(list(itertools.product(range(cells), repeat=3)))
+    offs = np.array(list(itertools.product(range(-w, w + 1), repeat=3)))
+    idx = np.zeros((b, n, k), np.int32)
+    for bi in range(b):
+        for ni in range(n):
+            sel = offs[rng.choice(len(offs), k, replace=False)]
+            cc = (coords[ni] + sel) % cells
+            idx[bi, ni] = (cc[:, 0] * cells + cc[:, 1]) * cells + cc[:, 2]
+    v = rng.normal(size=(b, n, c)).astype(np.float32)
+    ev = rng.normal(size=(b, n, k, c)).astype(np.float32)
+    ref_g = np.stack([v[bi][idx[bi]] for bi in range(b)])
+    ref_s = np.zeros((b, n, c), np.float32)
+    for bi in range(b):
+        np.add.at(ref_s, (bi, idx[bi].reshape(-1)), ev[bi].reshape(-1, c))
+
+    for core in [(2, 2, 2), (2, 2, 4), (2, 4, 4), (4, 4, 4)]:
+        masks = block_masks(jnp.asarray(idx), cells, w, dtype=jnp.float32,
+                            core=core)
+        g = np.asarray(masked_gather(jnp.asarray(v), masks, cells, w,
+                                     core=core))
+        s = np.asarray(masked_scatter_add(jnp.asarray(ev), masks, cells, w,
+                                          core=core))
+        np.testing.assert_allclose(g, ref_g, atol=1e-6, err_msg=str(core))
+        np.testing.assert_allclose(s, ref_s, atol=1e-5, err_msg=str(core))
