@@ -101,12 +101,16 @@ def measure_tpu_graph_step() -> float:
     for _ in range(max(1, WARMUP // ITERS + 1)):
         state, losses = scan_fn(state, chunk, 6)
     float(losses[-1])
-    t0 = time.perf_counter()
-    state, losses = scan_fn(state, chunk, 6)
-    final = float(losses[-1])  # host fetch = true barrier
-    sec = (time.perf_counter() - t0) / ITERS
+    # min over several dispatches: the tunnel's per-dispatch latency is
+    # noisy (measured swings of 2-3x between healthy and degraded windows)
+    secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = scan_fn(state, chunk, 6)
+        final = float(losses[-1])  # host fetch = true barrier
+        secs.append((time.perf_counter() - t0) / ITERS)
     assert _np.isfinite(final)
-    return BATCH * n / sec
+    return BATCH * n / min(secs)
 
 
 def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:

@@ -139,8 +139,9 @@ class ModelConfig:
     #   "banded" — flat index-slab one-hot matmuls (no cube assumption).
     # "masked"/"block" require lattice kNN on a full cube; non-cube data
     # falls back to the banded path; "masked" falls back to "block" above
-    # its HBM cap (models/registry.MASKED_BYTES_CAP).  Measured at 32^3
-    # b4 K14: masked 327 ms/step vs block 590 ms (PERF.md).
+    # its HBM cap (models/registry.MASKED_BYTES_CAP).  Fastest measured
+    # impl at 32^3 b4 K14 in every platform state seen so far (PERF.md
+    # has the core sweep and the platform-state caveats).
     neighbor_impl: str = "masked"
 
     @property
@@ -237,6 +238,8 @@ def enable_compilation_cache(cache_dir: Optional[str] = None):
     processes.  Important on this machine — TPU compiles go through a remote
     tunnel that is slow (20-60s per program) and occasionally drops."""
     import jax
+    if os.environ.get("NBODY_DISABLE_COMPILATION_CACHE"):
+        return
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",

@@ -41,12 +41,13 @@ import jax.numpy as jnp
 # set_core() for experiments.
 CORE = (4, 4, 8)
 
-# Core for the MASKED (precomputed-shared-one-hot, XLA einsum) path.  That
-# path has NO per-grid-step floor, and its dominant cost is streaming the
-# (B, NB, ET, P) mask array from HBM — bytes scale with P = prod(core+2w),
-# so a SMALL core wins: (2,2,4) -> P=288 vs (4,4,8) -> P=768, a 2.7x mask
-# traffic cut, while (ET=224, P=288) dots still tile the MXU acceptably.
-MASKED_CORE = (2, 2, 4)
+# Core for the MASKED (precomputed-shared-one-hot, XLA einsum) path.
+# Empirically swept at 32^3 b4 K14 w2 (PERF.md): the batched einsum is
+# granularity-bound below (ET, P) ~ (448, 384) and mask-traffic-bound
+# above it.  (2,4,4) -> ET=448, P=384 (both exact 128 multiples) measured
+# 456 ms/step vs (2,2,4) 854 ms, (2,2,2) 1093 ms, (4,4,4) compile-DNF on
+# this platform.  P = prod(core + 2*window) sets mask bytes per edge.
+MASKED_CORE = (2, 4, 4)
 
 
 def set_core(core: Tuple[int, int, int]):
