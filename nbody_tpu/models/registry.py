@@ -170,23 +170,38 @@ MASKED_BYTES_CAP = 8 * 1024 ** 3
 def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
     """Precomputed shared one-hot masks (neighbor_impl='masked'): one
     (B, NB, ET, P) array per step, consumed by every neighbor op fwd+bwd
-    (ops/blocked.block_masks; PERF.md shared-mask formulation)."""
+    (ops/blocked.block_masks; PERF.md shared-mask formulation).
+
+    Returns (masks, lat): the largest core from the sweep-ranked candidate
+    list whose mask array fits MASKED_BYTES_CAP is chosen (big cores are
+    faster — PERF.md core sweep — but mask bytes scale with the patch
+    width P, so e.g. 64^3 b1 drops from (4,8,8) to (4,4,8)); the chosen
+    core is appended to the lattice tuple so every downstream op uses the
+    matching block geometry.  (None, lat) -> Pallas block-kernel fallback.
+    """
     if cfg.neighbor_impl != "masked" or lat is None:
-        return None
-    from nbody_tpu.ops.blocked import block_masks, block_geometry, MASKED_CORE
-    if any(lat[0] % d for d in MASKED_CORE):
-        return None
+        return None, lat
+    from nbody_tpu.ops.blocked import (MASKED_CORE, block_geometry,
+                                       block_masks)
     mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape
-    _, ext = block_geometry(lat[0], lat[1], MASKED_CORE)
-    est = b * n * k * ext[0] * ext[1] * ext[2] * jnp.dtype(mask_dt).itemsize
-    if est > MASKED_BYTES_CAP:
-        import warnings
-        warnings.warn(
-            f"neighbor_impl='masked' would allocate {est / 2**30:.1f} GiB of "
-            "masks; falling back to the Pallas block kernels", stacklevel=2)
-        return None
-    return block_masks(idx, lat[0], lat[1], dtype=mask_dt)
+    candidates = [MASKED_CORE, (4, 4, 8), (2, 4, 8), (2, 2, 4), (2, 2, 2)]
+    for core in candidates:
+        if any(lat[0] % d for d in core):
+            continue
+        _, ext = block_geometry(lat[0], lat[1], core)
+        est = (b * n * k * ext[0] * ext[1] * ext[2]
+               * jnp.dtype(mask_dt).itemsize)
+        if est <= MASKED_BYTES_CAP:
+            lat3 = (lat[0], lat[1], core)
+            return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
+                               core=core), lat3
+    import warnings
+    warnings.warn(
+        "neighbor_impl='masked': no candidate core fits the mask HBM cap "
+        f"({MASKED_BYTES_CAP / 2**30:.1f} GiB) at this problem size; "
+        "falling back to the Pallas block kernels", stacklevel=2)
+    return None, lat
 
 
 def _mixed_precision(model: Model, dtype) -> Model:
@@ -250,7 +265,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice if (lattice and n == cells ** 3) else None
-            masks = _make_masks(cfg, lat, idx, dtype)
+            masks, lat = _make_masks(cfg, lat, idx, dtype)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
                 vel.astype(dtype), idx, box,
@@ -283,7 +298,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
                 idx = knn(pos)
                 n = x_in.shape[-2]
                 lat = lattice if (lattice and n == cells ** 3) else None
-                masks = _make_masks(cfg, lat, idx, dtype)
+                masks, lat = _make_masks(cfg, lat, idx, dtype)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=_effective_band(cfg, band, n, cells),
@@ -307,7 +322,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype) -> Model:
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice15 if (lattice15 and n == cells ** 3) else None
-            masks = _make_masks(cfg, lat, idx, dtype)
+            masks, lat = _make_masks(cfg, lat, idx, dtype)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),

@@ -89,7 +89,7 @@ def build_block_sym_graph(idx: jnp.ndarray, band: Optional[int] = None,
     """
     b, n, k = idx.shape
     if lattice is not None and n == lattice[0] ** 3:
-        cells, w = lattice
+        cells, w = lattice[0], lattice[1]
         d = _lattice_offsets(idx, cells)                  # (b, N, K, 3)
         payload = (d + w).reshape(b, n, 3 * k).astype(jnp.float32)
         nbr = neighbor_gather(payload, idx, band, lattice, masks=masks)

@@ -273,8 +273,9 @@ def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
     the default bf16 fast path would round above 256.  exact with bf16
     masks would defeat the purpose, so exact falls back to the idx path."""
     if masks is not None and lattice is not None and not exact:
-        from nbody_tpu.ops.blocked import masked_gather
-        return masked_gather(values, masks, lattice[0], lattice[1])
+        from nbody_tpu.ops.blocked import lattice_core, masked_gather
+        return masked_gather(values, masks, lattice[0], lattice[1],
+                             core=lattice_core(lattice))
     return _neighbor_gather_idx(values, idx, band, lattice, exact)
 
 
@@ -284,8 +285,9 @@ def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
                          masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
     if masks is not None and lattice is not None and not exact:
-        from nbody_tpu.ops.blocked import masked_scatter_add
-        return masked_scatter_add(vals, masks, lattice[0], lattice[1])
+        from nbody_tpu.ops.blocked import lattice_core, masked_scatter_add
+        return masked_scatter_add(vals, masks, lattice[0], lattice[1],
+                                  core=lattice_core(lattice))
     return _neighbor_scatter_add_idx(vals, idx, band, lattice, exact)
 
 

@@ -42,12 +42,15 @@ import jax.numpy as jnp
 CORE = (4, 4, 8)
 
 # Core for the MASKED (precomputed-shared-one-hot, XLA einsum) path.
-# Empirically swept at 32^3 b4 K14 w2 (PERF.md): the batched einsum is
-# granularity-bound below (ET, P) ~ (448, 384) and mask-traffic-bound
-# above it.  (2,4,4) -> ET=448, P=384 (both exact 128 multiples) measured
-# 456 ms/step vs (2,2,4) 854 ms, (2,2,2) 1093 ms, (4,4,4) compile-DNF on
-# this platform.  P = prod(core + 2*window) sets mask bytes per edge.
-MASKED_CORE = (2, 4, 4)
+# Empirically swept at 32^3 b4 K14 w2 (PERF.md, all same-program
+# deterministic): step time falls monotonically with instance size up to
+# (4,4,8) — (2,2,2) 1093 ms, (2,2,4) 854, (2,4,4) 456, (2,4,8) 411,
+# (4,4,8) 327, (4,8,8) 321; (2,8,8) 402 turns back up.  The batched
+# einsum is granularity-bound until ~(ET=1792, P=768) instances; beyond
+# that the mask HBM bytes (B*N*K*P) win.  P = prod(core + 2w).  At sizes
+# where this core's mask array exceeds the HBM cap, the registry's
+# candidate list steps down ((4,4,8) at 64^3 b1) — models/registry.
+MASKED_CORE = (4, 8, 8)
 
 
 def set_core(core: Tuple[int, int, int]):
@@ -63,6 +66,17 @@ def set_masked_core(core: Tuple[int, int, int]):
     """Swap the masked-path core block shape (same caveats as set_core)."""
     global MASKED_CORE
     MASKED_CORE = tuple(core)
+
+
+def lattice_core(lattice) -> Tuple[int, int, int]:
+    """Core shape carried by a lattice tuple: (cells, window[, core]).
+
+    The registry appends the chosen core when it builds shared masks (it
+    may pick a smaller core than MASKED_CORE to fit the mask HBM budget at
+    large N); 2-tuples fall back to the global default."""
+    if lattice is not None and len(lattice) > 2 and lattice[2]:
+        return tuple(lattice[2])
+    return MASKED_CORE
 
 
 def block_geometry(cells: int, window: int, core=None):
@@ -105,15 +119,21 @@ def block_patches(values: jnp.ndarray, cells: int, window: int,
     bx, by, bz = core or CORE
     (nbx, nby, nbz), (ex, ey, ez) = block_geometry(cells, window, core)
     padded = _wrap_pad(values.reshape(b, cells, cells, cells, c), window)
+    pc = cells + 2 * window
 
-    # axis by axis: gather all window-extent offsets with stride = core size
-    px = jnp.stack([padded[:, lx:lx + nbx * bx:bx] for lx in range(ex)], axis=2)
-    # (B, nbx, ex, c+2w, c+2w, C)
-    py = jnp.stack([px[:, :, :, ly:ly + nby * by:by] for ly in range(ey)], axis=4)
-    # (B, nbx, ex, nby, ey, c+2w, C)
-    pz = jnp.stack([py[:, :, :, :, :, lz:lz + nbz * bz:bz] for lz in range(ez)],
-                   axis=6)
-    # (B, nbx, ex, nby, ey, nbz, ez, C)
+    # axis by axis: gather all window-extent offsets with stride = core
+    # size, always slicing/stacking on a LOW-RANK view (see patches_fold
+    # for the tile-layout pathology high-rank intermediates trigger)
+    p0 = padded.reshape(b, pc, pc * pc * c)
+    px = jnp.stack([p0[:, lx:lx + nbx * bx:bx] for lx in range(ex)], axis=2)
+    # (B, nbx, ex, pc*pc*C)
+    px = px.reshape(b * nbx * ex, pc, pc * c)
+    py = jnp.stack([px[:, ly:ly + nby * by:by] for ly in range(ey)], axis=2)
+    # (B*nbx*ex, nby, ey, pc*C)
+    py = py.reshape(b * nbx * ex * nby * ey, pc, c)
+    pz = jnp.stack([py[:, lz:lz + nbz * bz:bz] for lz in range(ez)], axis=2)
+    # (B*nbx*ex*nby*ey, nbz, ez, C)
+    pz = pz.reshape(b, nbx, ex, nby, ey, nbz, ez, c)
     pz = pz.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return pz.reshape(b, nbx * nby * nbz, ex * ey * ez, c)
 
@@ -133,17 +153,29 @@ def patches_fold(acc: jnp.ndarray, cells: int, window: int,
 
     pc = cells + 2 * w
     # inverse of the strided extraction, SEPARABLY per axis (ex+ey+ez ops,
-    # not ex*ey*ez): fold z, then y, then x
+    # not ex*ey*ez): fold z, then y, then x.  Each fold runs on a LOW-RANK
+    # view (rows, strided-dim[, tail]) — high-rank intermediates with tiny
+    # minor dims invite pathological TPU tile layouts (measured at 64^3
+    # with the (4,4,8) core: a (1,16,8,8,12,8,1,16) f32 temp padded 170x,
+    # 6 MB -> 1 GB, an instant OOM).
     # a: (B, nbx, ex, nby, ey, nbz, ez, C)
-    az = jnp.zeros((b, nbx, ex, nby, ey, pc, c), acc.dtype)
+    rows_z = b * nbx * ex * nby * ey
+    a3 = a.reshape(rows_z, nbz, ez, c)
+    az = jnp.zeros((rows_z, pc, c), acc.dtype)
     for lz in range(ez):
-        az = az.at[..., lz:lz + nbz * bz:bz, :].add(a[..., lz, :])
-    ay = jnp.zeros((b, nbx, ex, pc, pc, c), acc.dtype)
+        az = az.at[:, lz:lz + nbz * bz:bz, :].add(a3[:, :, lz, :])
+    # az rows split back: (B*nbx*ex, nby, ey, pc*C), fold y
+    rows_y = b * nbx * ex
+    a4 = az.reshape(rows_y, nby, ey, pc * c)
+    ay = jnp.zeros((rows_y, pc, pc * c), acc.dtype)
     for ly in range(ey):
-        ay = ay.at[..., ly:ly + nby * by:by, :, :].add(az[..., ly, :, :])
-    out = jnp.zeros((b, pc, pc, pc, c), acc.dtype)
+        ay = ay.at[:, ly:ly + nby * by:by, :].add(a4[:, :, ly, :])
+    # ay rows split back: (B, nbx, ex, pc*pc*C), fold x
+    a5 = ay.reshape(b, nbx, ex, pc * pc * c)
+    out = jnp.zeros((b, pc, pc * pc * c), acc.dtype)
     for lx in range(ex):
-        out = out.at[:, lx:lx + nbx * bx:bx].add(ay[:, :, lx])
+        out = out.at[:, lx:lx + nbx * bx:bx, :].add(a5[:, :, lx, :])
+    out = out.reshape(b, pc, pc, pc, c)
     # fold the circular pad rings back: padded coords [0, w) belong to
     # global [n-w, n), and [w+n, n+2w) to [0, w)
     for axis in (1, 2, 3):

@@ -115,11 +115,11 @@ def main():
         def apply_fixed(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             idx = jnp.asarray(idx_const)
-            masks = _make_masks(cfg, lattice, idx, dt)
+            masks, lat = _make_masks(cfg, lattice, idx, dt)
             return shiftinv.shiftinv_model(
                 params, pos.astype(dt), za.astype(dt),
                 idx, box, band=band,
-                remat=args.remat, lattice=lattice, masks=masks)
+                remat=args.remat, lattice=lat, masks=masks)
 
         model = _mixed_precision(
             Model(model.init, apply_fixed, model.family), dt)
