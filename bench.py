@@ -98,11 +98,15 @@ def measure_tpu_graph_step() -> float:
     # (measured) — only a device->host fetch is a true barrier.
     chunk = jnp.asarray(_np.stack(
         [x[(i % 2) * BATCH:(i % 2 + 1) * BATCH] for i in range(ITERS)]))
-    for _ in range(max(1, WARMUP // ITERS + 1)):
+    state, losses = scan_fn(state, chunk, 6)
+    for _ in range(max(0, WARMUP // ITERS)):
         state, losses = scan_fn(state, chunk, 6)
     float(losses[-1])
     # min over several dispatches: the tunnel's per-dispatch latency is
-    # noisy (measured swings of 2-3x between healthy and degraded windows)
+    # noisy (measured swings of 2-3x between healthy and degraded windows,
+    # while per-shape device times are deterministic — PERF.md).  All
+    # per-dispatch times are reported alongside the min so the spread is
+    # visible in the output (ADVICE r2).
     secs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -110,7 +114,7 @@ def measure_tpu_graph_step() -> float:
         final = float(losses[-1])  # host fetch = true barrier
         secs.append((time.perf_counter() - t0) / ITERS)
     assert _np.isfinite(final)
-    return BATCH * n / min(secs)
+    return BATCH * n / min(secs), sorted(secs)
 
 
 def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
@@ -120,12 +124,14 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
     code = ("import bench, json\n"
             + ("import jax; jax.config.update('jax_platforms','cpu')\n"
                if force_cpu else "")
-            + "print('PPS', bench.measure_tpu_graph_step())\n")
+            + "pps, secs = bench.measure_tpu_graph_step()\n"
+            + "print('PPS', pps, json.dumps(secs))\n")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=REPO, timeout=timeout_s)
     for line in out.stdout.strip().splitlines():
         if line.startswith("PPS "):
-            return float(line.split()[1])
+            parts = line.split(None, 2)
+            return float(parts[1]), json.loads(parts[2])
     if "COVERAGE_VIOLATIONS" in out.stderr:
         # not retryable and not CPU-fallbackable: the graph itself is wrong
         raise CoverageError(out.stderr[-400:])
@@ -137,10 +143,10 @@ def main():
     base_pps = baseline["graph"]["particle_steps_per_sec"]
 
     metric = "train_step_throughput_shiftinv_32c_k14_b4"
-    pps = None
+    pps = secs = None
     for attempt in range(2):
         try:
-            pps = _measure_in_subprocess(timeout_s=540, force_cpu=False)
+            pps, secs = _measure_in_subprocess(timeout_s=540, force_cpu=False)
             break
         except CoverageError as e:
             print(f"# REFUSING to report: {e}", file=sys.stderr)
@@ -153,13 +159,16 @@ def main():
         # tunnel down: report the same program on the CPU backend, honestly
         # labeled, so the round still records a measurement
         metric += "_CPU_FALLBACK_tpu_tunnel_down"
-        pps = _measure_in_subprocess(timeout_s=3600, force_cpu=True)
+        pps, secs = _measure_in_subprocess(timeout_s=3600, force_cpu=True)
 
     print(json.dumps({
         "metric": metric,
         "value": round(pps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(pps / base_pps, 2),
+        # methodology: value = BATCH*N / min(step_secs); all three
+        # per-dispatch step times (sorted) expose the tunnel-noise spread
+        "step_secs_sorted": [round(s, 5) for s in secs],
     }))
 
 

@@ -122,10 +122,22 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
         if pn.shape[-2] > 100_000:
             from nbody_tpu.baseline_cpu import pbc_knn_host
             # ghost shell must exceed the kNN radius (~2.2 grid spacings
-            # for K<=~30 at these densities): 4 spacings, min 0.1
-            thr = max(0.1, 4.0 * pn.shape[-2] ** (-1.0 / 3.0))
-            return np.stack([pbc_knn_host(np.asarray(jax.device_get(pb)), k,
-                                          boundary_threshold=thr)
+            # for K<=~30 at these densities): 4 spacings, min 0.1.  The
+            # shell is VERIFIED a posteriori (ADVICE r2): if any row's
+            # K-th-neighbor distance reaches the shell, the padded search
+            # itself may have missed a cross-boundary neighbor — re-run
+            # with a doubled shell until the radius is strictly inside.
+            def host_knn_checked(pb):
+                thr = max(0.1, 4.0 * pn.shape[-2] ** (-1.0 / 3.0))
+                while True:
+                    idx_b = pbc_knn_host(pb, k, boundary_threshold=thr)
+                    d = pb[idx_b] - pb[:, None, :]
+                    d -= np.round(d)
+                    kth = float(np.sqrt((d * d).sum(-1)).max())
+                    if kth < thr or thr >= 0.5:
+                        return idx_b
+                    thr = min(0.5, 2.0 * thr)
+            return np.stack([host_knn_checked(np.asarray(jax.device_get(pb)))
                              for pb in pn])
         return jax.device_get(knn_periodic_batch(pn, k))
 
@@ -166,6 +178,11 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
 # the activations need the rest)
 MASKED_BYTES_CAP = 8 * 1024 ** 3
 
+# What _make_masks actually chose at the last model trace — run metadata so
+# a silent fallback (masked -> Pallas block) is visible in artifacts, not
+# just a filterable warning (ADVICE r2).  Keyed by trace-time facts only.
+EFFECTIVE_NEIGHBOR_IMPL: dict = {}
+
 
 def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
     """Precomputed shared one-hot masks (neighbor_impl='masked'): one
@@ -194,9 +211,14 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
                * jnp.dtype(mask_dt).itemsize)
         if est <= MASKED_BYTES_CAP:
             lat3 = (lat[0], lat[1], core)
+            EFFECTIVE_NEIGHBOR_IMPL.update(
+                impl="masked", core=list(core), mask_bytes=int(est),
+                fallback=False)
             return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
                                core=core), lat3
     import warnings
+    EFFECTIVE_NEIGHBOR_IMPL.update(
+        impl="block", core=None, mask_bytes=None, fallback=True)
     warnings.warn(
         "neighbor_impl='masked': no candidate core fits the mask HBM cap "
         f"({MASKED_BYTES_CAP / 2**30:.1f} GiB) at this problem size; "

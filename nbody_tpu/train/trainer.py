@@ -150,6 +150,19 @@ class Trainer:
         if self.saver is not None:
             self.saver.append_metrics(rec)
 
+    def _log_effective_impl(self):
+        """Record what neighbor implementation the model trace actually
+        chose (the masked->block HBM-cap fallback is otherwise only a
+        filterable warning; ADVICE r2) in the run's metrics artifacts."""
+        from nbody_tpu.models import registry
+        if registry.EFFECTIVE_NEIGHBOR_IMPL:
+            rec = {"effective_neighbor_impl": dict(
+                registry.EFFECTIVE_NEIGHBOR_IMPL)}
+            if registry.EFFECTIVE_NEIGHBOR_IMPL.get("fallback"):
+                print("NOTE: neighbor_impl='masked' fell back to the Pallas "
+                      "block kernels (mask HBM cap)", flush=True)
+            self._log(rec)
+
     def check_graph_coverage(self, x_in) -> int:
         """Guard against silent edge-dropping (round-1 retraction class):
         verifies the configured kNN/band setup covers this data.  Runs once
@@ -185,6 +198,8 @@ class Trainer:
             if it == 0:
                 self.check_graph_coverage(x_in)
             self.state, loss = self.train_step(self.state, x_in, y_true)
+            if it == 0:
+                self._log_effective_impl()
             if (it + 1) % tcfg.checkpoint_every == 0:
                 last_loss = float(loss)
                 self._log({"step": it + 1, "loss": last_loss,
@@ -230,7 +245,10 @@ class Trainer:
             batches = jnp.asarray(np.stack(chunk))
             if done == 0:
                 self.check_graph_coverage(batches[0][..., :self.num_inputs])
+            first = done == 0
             self.state, losses = scan_fn(self.state, batches, self.num_inputs)
+            if first:
+                self._log_effective_impl()
             done += t
             last_loss = float(losses[-1])
             self._log({"step": done, "loss": last_loss,
