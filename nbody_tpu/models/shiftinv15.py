@@ -173,22 +173,27 @@ def _transpose(h: jnp.ndarray, g: BlockSymGraph, band, lattice=None,
     A-slot (n, k): the reverse edge is either A-slot (c, rev_pos) — or the
     masked B mirror (n, k).  B-slot transpose is its A mirror.
 
-    from_a[n,k] = ha[idx[n,k], rev_pos[n,k]] is computed as a scan over the
-    K source slots:  sum_j gather(ha[:, :, j, :])[n,k] * [rev_pos[n,k]==j].
-    Every tensor stays 4-D (b, N, K, C).  An earlier one-shot version
-    gathered K*C-wide rows then contracted a (b,N,K,K,C) intermediate —
-    6.1 GB unpadded (14 GB after TPU tile padding) at 32^3 b4 C64, an
-    instant HBM OOM; the scan's peak extra memory is one (b,N,K,C) slice,
-    and since gather is linear the scan saves no large AD residuals.
+    from_a[n,k] = ha[idx[n,k], rev_pos[n,k]]: ONE K*C-channel-wide row
+    gather followed by a (K, K) slot contraction against onehot(rev_pos).
+    The gather and the contraction are both linear, so this is exactly the
+    reverse-edge permutation composed with the neighbor selection — staged,
+    because composing them into one selection array would need a P*K-wide
+    one-hot (~59 GB at 32^3 b4); the staged form costs one neighbor-op
+    pass (whose shared-mask traffic is channel-INDEPENDENT, ops/blocked)
+    plus a (b,N,K,K*C) intermediate.  The contraction runs as K fused
+    slice-multiplies on the flat 4-D layout: a reshaped 5-D (b,N,K,K,C)
+    einsum would tile-pad its tiny minor dims ~2.3x (the round-2 OOM was
+    this, in f32: 6.1 GB -> 14 GB), while the 4-D slices stay unpadded.
 
-    At narrow widths (K*C <= 256 channels) a single K*C-wide gather plus K
-    fused slice-multiplies is cheaper (one mask/band pass instead of K);
-    the slice form never builds the 5-D intermediate either."""
+    On the banded/Pallas path (masks=None) kernel cost DOES scale with the
+    gathered width, so wide rows only win up to K*C <= 256; beyond that a
+    lax.scan over the K source slots (one C-wide gather each) keeps peak
+    memory at one (b,N,K,C) slice per step."""
     bsz, _, n, k, c = h.shape
     ha = h[:, 0]
     sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)          # (b, N, K, K)
 
-    if k * c <= 256:
+    if masks is not None or k * c <= 256:
         rows_wide = neighbor_gather(ha.reshape(bsz, n, k * c), g.idx, band,
                                     lattice, masks=masks)      # (b, N, K, K*C)
         # [., n, k, j*C : (j+1)*C] = ha[idx[n,k], j, :]

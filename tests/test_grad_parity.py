@@ -1,0 +1,54 @@
+"""Backward-pass parity: masked (shared one-hot einsum) vs index paths.
+
+The masked path is the project-wide default, and training differentiates
+through the fused s2 scatter, block-major network, and the wide transpose
+gather — this pins the FULL loss gradient wrt params against the plain
+indexed implementation (ADVICE r2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from nbody_tpu import config as C
+from nbody_tpu.data.synthetic import synthetic_raw_cubes
+from nbody_tpu.data.dataset import features_from_raw, split_batch
+from nbody_tpu.models.registry import build_model
+from nbody_tpu.physics.losses import loss_za
+
+CELLS = 8
+K = 6
+
+
+def _grads(family, impl):
+    # 48-wide hidden layer puts K*C = 288 > 256: exercises the wide masked
+    # transpose gather (shiftinv15._transpose) beyond the old slice cap
+    cfg = C.ModelConfig(family=family, channels=(3, 48, 6, 3), k_neighbors=K,
+                        dtype="float32", knn_window=2, knn_method="lattice",
+                        neighbor_impl=impl, seed=3)
+    box = 4.0 * CELLS
+    model = build_model(cfg, box=box)
+    raw = synthetic_raw_cubes(num_samples=2, cells=CELLS, seed=0)
+    x_in, y_true = split_batch(jnp.asarray(features_from_raw(raw)), 6)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+
+    def loss(p):
+        return loss_za(model.apply(p, x_in), y_true)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    return float(val), grads
+
+
+@pytest.mark.parametrize("family", ["shiftinv", "shiftinv15"])
+def test_masked_grads_match_indexed(family):
+    v_masked, g_masked = _grads(family, "masked")
+    v_index, g_index = _grads(family, "block")  # banded/index path off-TPU
+    assert np.isfinite(v_masked)
+    np.testing.assert_allclose(v_masked, v_index, rtol=1e-5)
+    flat_m, _ = ravel_pytree(g_masked)
+    flat_i, _ = ravel_pytree(g_index)
+    scale = np.maximum(np.abs(np.asarray(flat_i)), 1e-3)
+    np.testing.assert_allclose(np.asarray(flat_m) / scale,
+                               np.asarray(flat_i) / scale,
+                               rtol=0, atol=2e-4)
