@@ -165,6 +165,10 @@ class TrainConfig:
     # parallelism
     data_axis: int = 1                        # mesh size along batch axis
     particle_axis: int = 1                    # mesh size along particle axis
+    # multi-seed ensemble: train E independent models as ONE jitted program,
+    # members sharded over the "data" mesh axis (BASELINE.json config 5);
+    # 0/1 = ordinary single-model training
+    ensemble: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -216,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
     adg("--scan", type=int, default=0, metavar="T",
         help="Fuse T optimizer steps per device dispatch (lax.scan); "
              "amortizes host latency on tunneled TPUs")
+    adg("--ensemble", type=int, default=0, metavar="E",
+        help="Train an E-member multi-seed ensemble as one jitted program, "
+             "members sharded over the device mesh (seeds -s, -s+1, ...)")
     adg("--data_axis", type=int, default=1, help="Mesh size along data-parallel axis")
     adg("--particle_axis", type=int, default=1, help="Mesh size along particle axis")
     adg("--platform", type=str, default="auto", choices=["auto", "cpu", "tpu"],
@@ -279,5 +286,6 @@ def config_from_args(args: argparse.Namespace) -> Config:
         restore=args.restore,
         scan_chunk=args.scan,
         data_axis=args.data_axis,
-        particle_axis=args.particle_axis)
+        particle_axis=args.particle_axis,
+        ensemble=args.ensemble)
     return Config(data=data, model=model, train=train)

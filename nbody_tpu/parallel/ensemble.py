@@ -72,3 +72,60 @@ def init_ensemble_state(model: Model, optimizer: optax.GradientTransformation,
     params = init_ensemble_params(model, seeds)
     opt_state = jax.vmap(optimizer.init)(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_ensemble_train_scan(model: Model,
+                             optimizer: optax.GradientTransformation,
+                             mesh: Mesh, loss_fn: Callable = loss_za):
+    """Jitted (stacked state, batches (T, b, N, C), num_inputs)
+    -> (state', losses (T, E)): T ensemble steps fused per dispatch
+    (lax.scan over make_ensemble_train_step's body)."""
+    esh = ensemble_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def member_step(params, opt_state, x_in, y_true):
+        def loss(p):
+            return loss_fn(model.apply(p, x_in), y_true)
+
+        loss_val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss_val
+
+    def one_step(state: TrainState, batch, num_inputs: int):
+        x_in, y_true = batch[..., :num_inputs], batch[..., num_inputs:]
+        params, opt_state, losses = jax.vmap(
+            member_step, in_axes=(0, 0, None, None))(
+            state.params, state.opt_state, x_in, y_true)
+        return TrainState(params, opt_state, state.step + 1), losses
+
+    def scan_steps(state: TrainState, batches, num_inputs: int):
+        return jax.lax.scan(
+            lambda s, b: one_step(s, b, num_inputs), state, batches)
+
+    state_sh = TrainState(params=esh, opt_state=esh, step=rep)
+    losses_sh = NamedSharding(mesh, P(None, DATA_AXIS))   # (T, E)
+    return jax.jit(scan_steps, static_argnums=(2,),
+                   in_shardings=(state_sh, rep),
+                   out_shardings=(state_sh, losses_sh),
+                   donate_argnums=(0,))
+
+
+def make_ensemble_eval_step(model: Model, mesh: Mesh,
+                            loss_fn: Callable = loss_za):
+    """Jitted (stacked params, x_in, y_true) -> (mean-ensemble pred, loss).
+
+    The deliverable of a multi-seed sweep is the ensemble-mean prediction;
+    its loss is what the eval artifacts record.  Per-member losses are
+    returned alongside for diagnostics."""
+    esh = ensemble_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    fwd = model.eval_fn
+
+    def step(stacked_params, x_in, y_true):
+        preds = jax.vmap(fwd, in_axes=(0, None))(stacked_params, x_in)
+        member_losses = jax.vmap(loss_fn, in_axes=(0, None))(preds, y_true)
+        pred = jnp.mean(preds.astype(jnp.float32), axis=0)
+        return pred, loss_fn(pred, y_true), member_losses
+
+    return jax.jit(step, in_shardings=(esh, rep, rep),
+                   out_shardings=(rep, rep, esh))

@@ -111,7 +111,31 @@ class Trainer:
         self.optimizer = optax.adam(cfg.train.learn_rate)
         self.state = init_train_state(self.model, self.optimizer, cfg.model.seed)
         tcfg = cfg.train
-        if tcfg.data_axis * tcfg.particle_axis > 1:
+        self.ensemble = int(tcfg.ensemble or 0)
+        if self.ensemble > 1 and tcfg.data_axis * tcfg.particle_axis > 1:
+            raise ValueError("--ensemble is its own parallelism layout; "
+                             "combine it with --data_axis/--particle_axis "
+                             "is not supported")
+        if self.ensemble > 1:
+            # multi-seed ensemble: E independent members as ONE program,
+            # stacked on a leading axis sharded over the "data" mesh axis
+            # (BASELINE.json config 5).  Mesh size = gcd(E, #devices) so the
+            # same CLI works on one chip (all members vmapped locally) and
+            # on a full slice (members spread over ICI).
+            import math
+            from nbody_tpu.parallel.mesh import make_mesh
+            from nbody_tpu.parallel import ensemble as E
+            ndev = len(jax.devices())
+            self.mesh = make_mesh(data=math.gcd(self.ensemble, ndev))
+            seeds = [cfg.model.seed + i for i in range(self.ensemble)]
+            self.state = E.init_ensemble_state(self.model, self.optimizer,
+                                               seeds)
+            self.batch_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            self.train_step = E.make_ensemble_train_step(
+                self.model, self.optimizer, self.mesh)
+            self.eval_step = E.make_ensemble_eval_step(self.model, self.mesh)
+        elif tcfg.data_axis * tcfg.particle_axis > 1:
             # sharded training over the (data, particle) ICI mesh —
             # the CLI-reachable path for --data_axis/--particle_axis
             from nbody_tpu.parallel.mesh import make_mesh
@@ -149,6 +173,10 @@ class Trainer:
         self.metrics_log.append(rec)
         if self.saver is not None:
             self.saver.append_metrics(rec)
+
+    def _loss_scalar(self, loss) -> float:
+        """Scalarize a step loss: ensemble steps return per-member (E,)."""
+        return float(np.mean(np.asarray(jax.device_get(loss))))
 
     def _log_effective_impl(self):
         """Record what neighbor implementation the model trace actually
@@ -201,9 +229,13 @@ class Trainer:
             if it == 0:
                 self._log_effective_impl()
             if (it + 1) % tcfg.checkpoint_every == 0:
-                last_loss = float(loss)
-                self._log({"step": it + 1, "loss": last_loss,
-                           "elapsed_s": time.time() - t0})
+                last_loss = self._loss_scalar(loss)
+                rec = {"step": it + 1, "loss": last_loss,
+                       "elapsed_s": time.time() - t0}
+                if self.ensemble > 1:
+                    rec["member_losses"] = [
+                        float(x) for x in np.asarray(jax.device_get(loss))]
+                self._log(rec)
                 if verbose:
                     print(f"Checkpoint {it + 1:>5} : {last_loss:.6f}")
                 if self.saver is not None:
@@ -212,7 +244,7 @@ class Trainer:
                     self.saver.save_checkpoint(self.state,
                                                int(self.state.step))
         if loss is not None:
-            last_loss = float(jax.device_get(loss))
+            last_loss = self._loss_scalar(loss)
         return last_loss
 
     def fit_scan(self, num_iters: Optional[int] = None,
@@ -226,7 +258,11 @@ class Trainer:
         num_iters = num_iters if num_iters is not None else tcfg.num_iters
         key = key if key is not None else jax.random.PRNGKey(self.cfg.data.seed)
         if not hasattr(self, "_scan_fn"):
-            if self.mesh is not None:
+            if self.ensemble > 1:
+                from nbody_tpu.parallel.ensemble import make_ensemble_train_scan
+                self._scan_fn = make_ensemble_train_scan(
+                    self.model, self.optimizer, self.mesh)
+            elif self.mesh is not None:
                 from nbody_tpu.parallel.sharding import make_sharded_train_scan
                 self._scan_fn = make_sharded_train_scan(
                     self.model, self.optimizer, self.mesh)
@@ -250,9 +286,13 @@ class Trainer:
             if first:
                 self._log_effective_impl()
             done += t
-            last_loss = float(losses[-1])
-            self._log({"step": done, "loss": last_loss,
-                       "elapsed_s": time.time() - t0})
+            last_loss = self._loss_scalar(losses[-1])
+            rec = {"step": done, "loss": last_loss,
+                   "elapsed_s": time.time() - t0}
+            if self.ensemble > 1:
+                rec["member_losses"] = [
+                    float(x) for x in np.asarray(jax.device_get(losses[-1]))]
+            self._log(rec)
             if verbose:
                 print(f"Checkpoint {done:>5} : {last_loss:.6f}")
             if self.saver is not None:
@@ -277,7 +317,12 @@ class Trainer:
         preds = None
         for p, batch in self.dataset.sequential_batches(split, bsize):
             x_in, y_true = split_batch(self._put(batch), self.num_inputs)
-            pred, err = self.eval_step(self.state.params, x_in, y_true)
+            if self.ensemble > 1:
+                # ensemble eval: the artifact is the ensemble-MEAN prediction
+                pred, err, _member = self.eval_step(self.state.params,
+                                                    x_in, y_true)
+            else:
+                pred, err = self.eval_step(self.state.params, x_in, y_true)
             if preds is None:  # out channels discovered from the model
                 preds = np.zeros((2, n, self.dataset.num_particles,
                                   pred.shape[-1]), np.float32)

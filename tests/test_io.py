@@ -190,3 +190,50 @@ def test_cli_scan_training(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Checkpoint     3" in out   # metric granularity = scan_chunk
     assert "Test Error" in out
+
+
+def test_cli_ensemble_training(tmp_path, monkeypatch, capsys):
+    """--ensemble E trains an E-member multi-seed ensemble from the CLI
+    (BASELINE.json config 5), members sharded over the virtual mesh, and
+    the eval artifacts hold the ensemble-MEAN prediction (VERDICT r2
+    missing #2: the ensemble had no CLI route)."""
+    from nbody_tpu.cli import train as cli_train
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    rc = cli_train.main([
+        "-i", "4", "-b", "2", "-t", "2", "-n", "enstest", "--synthetic",
+        "--cells", "8", "-c", "6", "8", "3", "--model", "set",
+        "--ensemble", "4", "--scan", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test Error" in out
+    results = tmp_path / "exp" / "ZA-FPM_0_enstest" / "Results"
+    cube = np.load(results / "X_0_prediction.npy")
+    assert cube.shape == (2, 2, 512, 3)
+    # member losses recorded in the metrics artifact
+    import json as _json
+    metrics = tmp_path / "exp" / "ZA-FPM_0_enstest" / "metrics.jsonl"
+    recs = [_json.loads(l) for l in metrics.read_text().splitlines()]
+    member = [r for r in recs if "member_losses" in r]
+    assert member and len(member[-1]["member_losses"]) == 4
+
+
+def test_ensemble_trainer_scan_matches_per_step():
+    """fit_scan on the ensemble path reproduces fit()'s losses (same batch
+    sequence), and distinct seeds give distinct members."""
+    cfg_kwargs = dict(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                          cells_per_side=8, synthetic_num_samples=16),
+        model=C.ModelConfig(family="set", channels=(6, 8, 3), seed=11))
+    from nbody_tpu.train.trainer import Trainer
+    t1 = Trainer(C.Config(train=C.TrainConfig(num_iters=4, batch_size=2,
+                                              ensemble=4), **cfg_kwargs))
+    t2 = Trainer(C.Config(train=C.TrainConfig(num_iters=4, batch_size=2,
+                                              ensemble=4), **cfg_kwargs))
+    import jax as _jax
+    leaves = _jax.tree_util.tree_leaves(t1.state.params)
+    assert all(l.shape[0] == 4 for l in leaves)
+    w = t1.state.params[0]["W"]            # a weight, not the const-init bias
+    assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
+    l1 = t1.fit(verbose=False)
+    l2 = t2.fit_scan(scan_chunk=2, verbose=False)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
