@@ -47,6 +47,11 @@ def main(argv=None) -> int:
         trainer.fit()
     print(f"Training finished!\n\tElapsed time: {(time.time() - t0) / 60:.2f}m")
     saver.save_checkpoint(trainer.state, int(trainer.state.step))
+    if trainer.train_error_history:
+        # per-checkpoint training-error series (reference train.py:117-120,
+        # utils.py:488-498 with training=True)
+        saver.save_error(np.asarray(trainer.train_error_history, np.float32),
+                         training=True)
 
     print(f"\nEvaluation:\n{'=' * 78}")
     test_error, test_predictions = trainer.evaluate("test")

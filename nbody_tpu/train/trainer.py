@@ -162,6 +162,10 @@ class Trainer:
         self.saver = saver
         self.num_inputs = getattr(self.dataset, "num_input_channels", 6)
         self.metrics_log: list[dict] = []
+        # per-checkpoint training-error series (reference train.py:117-120
+        # fetched [error, pred] every 250 steps; Saver.save_error(
+        # training=True) persists this series — utils.py:488-498)
+        self.train_error_history: list[float] = []
         self._cov_fn = self._make_coverage_margin_fn()
         self._cov_confirmed = False
 
@@ -282,6 +286,7 @@ class Trainer:
                         float(x) for x in np.asarray(jax.device_get(loss))]
                 self._monitor_coverage(x_in, rec)
                 self._log(rec)
+                self.train_error_history.append(last_loss)
                 if verbose:
                     print(f"Checkpoint {it + 1:>5} : {last_loss:.6f}")
                 if self.saver is not None:
@@ -340,6 +345,7 @@ class Trainer:
                     float(x) for x in np.asarray(jax.device_get(losses[-1]))]
             self._monitor_coverage(batches[-1][..., :self.num_inputs], rec)
             self._log(rec)
+            self.train_error_history.append(last_loss)
             if verbose:
                 print(f"Checkpoint {done:>5} : {last_loss:.6f}")
             if self.saver is not None:

@@ -64,24 +64,51 @@ def l2_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.sqrt(np.sum(np.square(a - b), axis=-1))
 
 
+# Series styling (reference plot_eval.py:99-105): red baseline, blue/green
+# 'Updated'/'Previous' model series, alpha 0.5
+LINEAR_VEL_LABEL = "linear vel"
+LINEAR_VEL_COLOR = "r"
+MODEL_LABELS = ["Updated", "Previous"]
+MODEL_COLORS = ["b", "g"]
+
+
+def pair_title(zx: int, zy: int) -> str:
+    """Redshift-pair panel title (reference label_hist_ax,
+    plot_eval.py:109-121): snapshot indices plus their redshift values."""
+    return ("Error comparison, {:>2}-{:>2}: {:.4f} --> {:.4f}"
+            .format(zx, zy, REDSHIFTS[zx], REDSHIFTS[zy]))
+
+
+def series_label(dist: np.ndarray, tag: str) -> str:
+    """Monospace-aligned legend entry with the series median
+    (reference get_label, plot_eval.py:123-129)."""
+    return "{:>20}: {:.6f}".format(tag, float(np.median(dist)))
+
+
 def plot_hist_ax(ax, dists: Sequence[np.ndarray], labels: Sequence[str],
-                 colors: Optional[Sequence[str]] = None, bins=None):
-    """Overlaid L2-distance histograms with median markers
+                 colors: Optional[Sequence[str]] = None, bins=None,
+                 rs_pair: Optional[Tuple[int, int]] = None):
+    """Overlaid L2-distance histograms with median legend entries
     (reference plot_hist_ax, plot_eval.py:130-147).  Bin edges default to
     get_bins of the FIRST series (the baseline), shared by every series —
-    the reference's convention (plot_eval.py:131-132)."""
+    the reference's convention (plot_eval.py:131-132).  rs_pair titles the
+    panel by redshift pair (label_hist_ax, plot_eval.py:109-121)."""
     colors = colors or [f"C{i}" for i in range(len(dists))]
     if bins is None:
         bins = get_bins(dists[0])
     for d, lab, col in zip(dists, labels, colors):
         d = d.reshape(-1)
         med = float(np.median(d))
-        ax.hist(d, bins=bins, alpha=0.55, color=col,
-                label=f"{lab} (median {med:.5f})")
+        ax.hist(d, bins=bins, alpha=0.5, color=col, label=series_label(d, lab))
         ax.axvline(med, color=col, linestyle="--", linewidth=1)
-    ax.legend()
-    ax.set_xlabel("L2 distance")
+    leg = ax.legend(prop={"family": "monospace", "size": 9})
+    for line in leg.get_lines():
+        line.set_linewidth(1)
+    ax.grid(True, alpha=0.5, ls="--")
+    ax.set_xlabel("Distance (L2)")
     ax.set_ylabel("count")
+    if rs_pair is not None:
+        ax.set_title(pair_title(*rs_pair), size="medium", style="italic")
 
 
 def plot_model_vs_linear(truth: np.ndarray, pred: np.ndarray,
@@ -122,22 +149,99 @@ def plot_model_vs_linear(truth: np.ndarray, pred: np.ndarray,
     return fig
 
 
-def plot_multi_model(truths: Sequence[np.ndarray], preds: Sequence[np.ndarray],
-                     names: Sequence[str], save_path: Optional[str] = None):
-    """Multi-model / multi-redshift-pair layout (reference
-    plot_multiStep_comp, plot_eval.py:210-246)."""
+def _panel_dists(x_input: np.ndarray, truth: np.ndarray,
+                 preds: Sequence[np.ndarray], boundary: Optional[float]):
+    """Shared per-panel pipeline (reference plot_multi_single /
+    plot_multiStep_comp, plot_eval.py:149-178, 210-246): mask every series
+    by the INPUT cube's boundary shell, fit the linear-velocity timestep on
+    the masked data, return ([baseline dist, model dists...], labels)."""
+    if boundary is not None:
+        mask = get_mask(x_input[..., :3], boundary)
+    else:
+        mask = np.ones(truth.shape[:-1], bool)
+    t = calculate_timestep(x_input[mask], np.concatenate(
+        [truth, x_input[..., 3:]], axis=-1)[mask])
+    lin = get_linear_vel_pred(x_input, t)
+    dists = [l2_dist(lin, truth)[mask]]
+    labels = [LINEAR_VEL_LABEL]
+    colors = [LINEAR_VEL_COLOR]
+    for i, pred in enumerate(preds):
+        dists.append(l2_dist(pred, truth)[mask])
+        labels.append(MODEL_LABELS[i] if i < len(MODEL_LABELS)
+                      else f"model {i}")
+        colors.append(MODEL_COLORS[i] if i < len(MODEL_COLORS) else f"C{i}")
+    return dists, labels, colors
+
+
+def plot_multi_model(x_inputs: Sequence[np.ndarray],
+                     truths: Sequence[np.ndarray],
+                     model_preds: Sequence[Sequence[np.ndarray]],
+                     rs_pairs: Sequence[Tuple[int, int]],
+                     model_names: Optional[Sequence[str]] = None,
+                     boundary: Optional[float] = 0.1,
+                     ncols: int = 2,
+                     save_path: Optional[str] = None):
+    """Multi-model / multi-redshift-pair comparison grid (reference
+    plot_multi_single + plot_multiStep_comp, plot_eval.py:149-178,210-246).
+
+    One panel per redshift pair; EVERY panel overlays the linear-velocity
+    baseline (red) plus all model series ('Updated'/'Previous', blue/green)
+    with monospace median legends, titled by its redshift pair.
+
+    x_inputs[p] (S, N, 6): pair p's input positions+velocities;
+    truths[p]   (S, N, 3): pair p's target positions;
+    model_preds[m][p] (S, N, 3): model m's prediction for pair p;
+    rs_pairs[p]: (zx, zy) snapshot indices into REDSHIFTS.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    n = len(preds)
-    fig, axes = plt.subplots(1, n, figsize=(6 * n, 5), squeeze=False)
-    for ax, truth, pred, name in zip(axes[0], truths, preds, names):
-        plot_hist_ax(ax, [l2_dist(pred, truth)], [name])
-        ax.set_title(name)
+    num_pairs = len(rs_pairs)
+    ncols = min(ncols, num_pairs)
+    nrows = (num_pairs + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 5 * nrows),
+                             squeeze=False)
+    for p, pair in enumerate(rs_pairs):
+        ax = axes[p // ncols][p % ncols]
+        preds_p = [mp[p] for mp in model_preds]
+        dists, labels, colors = _panel_dists(x_inputs[p], truths[p],
+                                             preds_p, boundary)
+        if model_names:
+            labels = [labels[0]] + list(model_names)
+        plot_hist_ax(ax, dists, labels, colors=colors, rs_pair=pair)
+    for p in range(num_pairs, nrows * ncols):
+        axes[p // ncols][p % ncols].axis("off")
+    fig.tight_layout()
     if save_path:
         save_plot(fig, save_path)
     return fig
+
+
+def plot_multistep_comparison(truth_chain: Sequence[np.ndarray],
+                              vel_chain: Sequence[np.ndarray],
+                              model_preds: Sequence[Sequence[np.ndarray]],
+                              rs_indices: Sequence[int],
+                              model_names: Optional[Sequence[str]] = None,
+                              boundary: Optional[float] = 0.1,
+                              save_path: Optional[str] = None):
+    """Rollout-chain comparison (reference plot_multiStep_comp,
+    plot_eval.py:210-246): panel p uses snapshot p of the truth chain as
+    the input and snapshot p+1 as the target, so a chained multi-step
+    rollout is judged per hop against the per-hop linear baseline.
+
+    truth_chain[i] (S, N, 3) positions at rs_indices[i];
+    vel_chain[i]   (S, N, 3) velocities at rs_indices[i];
+    model_preds[m][p] (S, N, 3): model m's prediction for hop p.
+    """
+    x_inputs = [np.concatenate([truth_chain[i], vel_chain[i]], axis=-1)
+                for i in range(len(truth_chain) - 1)]
+    truths = [truth_chain[i + 1] for i in range(len(truth_chain) - 1)]
+    rs_pairs = [(rs_indices[i], rs_indices[i + 1])
+                for i in range(len(rs_indices) - 1)]
+    return plot_multi_model(x_inputs, truths, model_preds, rs_pairs,
+                            model_names=model_names, boundary=boundary,
+                            save_path=save_path)
 
 
 def save_plot(fig, path: str, dpi: int = 700):

