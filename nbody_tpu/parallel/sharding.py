@@ -105,9 +105,23 @@ def make_sharded_eval_step(model: Model, mesh: Mesh, loss_fn: Callable = loss_za
                    out_shardings=(bs, rep))
 
 
-def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
-                        box: float = 1.0, include_self: bool = True,
-                        window: int = 3) -> jnp.ndarray:
+def halo_knn_usable(cells: int, n: int, mesh: Mesh, window: int) -> bool:
+    """Whether the halo-exchange lattice kNN can serve this geometry:
+    a full cube, the x-extent divisible by the particle axis, and halos
+    that reach only adjacent shards."""
+    if mesh is None:
+        return False
+    p_size = mesh.shape[PARTICLE_AXIS]
+    if p_size <= 1 or n != cells ** 3 or cells % p_size:
+        return False
+    w = min(window, (cells - 1) // 2)
+    return w <= cells // p_size
+
+
+def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
+                              mesh: Mesh, box: float = 1.0,
+                              include_self: bool = True,
+                              window: int = 3) -> jnp.ndarray:
     """Halo-exchange lattice kNN for particle-sharded cubes.
 
     The TPU-native equivalent of the reference's host-side ghost-particle
@@ -118,7 +132,10 @@ def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
     2 * window * cells^2 positions — independent of the shard count — vs
     the full N of the all-gather variant.
 
-    pos (N, 3) sharded P("particle") -> idx (N, k) sharded the same.
+    pos (b, N, 3) sharded P("data", "particle") -> idx (b, N, k) sharded
+    the same (this is the in-training form: models/registry routes the
+    graph build here when a particle-sharded mesh is configured, so the
+    per-step graph rebuild communicates at halo scale, not cube scale).
     Requires cells divisible by the particle-axis size p, and
     window <= cells/p (halos touch only adjacent shards).
     """
@@ -129,7 +146,7 @@ def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
     assert w <= local_x, (
         f"window {w} needs halos beyond adjacent shards (local_x={local_x}); "
         "use fewer shards or the all-gather variant")
-    n = pos.shape[0]
+    n = pos.shape[-2]
     assert n == cells ** 3
 
     from nbody_tpu.physics.pbc import min_image_diff
@@ -140,43 +157,53 @@ def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
             for dz in range(-w, w + 1)]
     off_arr = jnp.asarray(offs, dtype=jnp.int32)
 
-    def local_knn(local_pos):
-        grid = local_pos.reshape(local_x, cells, cells, 3)
+    def local_knn(local_pos):                    # (b_local, N/p, 3)
+        bsz = local_pos.shape[0]
+        grid = local_pos.reshape(bsz, local_x, cells, cells, 3)
         # halo exchange on the ring: shard i's last w planes -> shard i+1
         # (arriving as the LEFT halo), first w planes -> shard i-1 (RIGHT)
         fwd = [(i, (i + 1) % p_size) for i in range(p_size)]
         bwd = [(i, (i - 1) % p_size) for i in range(p_size)]
-        left = jax.lax.ppermute(grid[-w:], PARTICLE_AXIS, fwd)
-        right = jax.lax.ppermute(grid[:w], PARTICLE_AXIS, bwd)
-        padded = jnp.concatenate([left, grid, right], axis=0)
+        left = jax.lax.ppermute(grid[:, -w:], PARTICLE_AXIS, fwd)
+        right = jax.lax.ppermute(grid[:, :w], PARTICLE_AXIS, bwd)
+        padded = jnp.concatenate([left, grid, right], axis=1)
 
         d2 = []
         for (dx, dy, dz) in offs:
-            cand = padded[w + dx:w + dx + local_x]
-            cand = jnp.roll(cand, (-dy, -dz), axis=(1, 2)).reshape(-1, 3)
+            cand = padded[:, w + dx:w + dx + local_x]
+            cand = jnp.roll(cand, (-dy, -dz), axis=(2, 3)).reshape(bsz, -1, 3)
             delta = min_image_diff(cand, local_pos, box)
             dist = jnp.sum(delta * delta, axis=-1)
             if (dx, dy, dz) == (0, 0, 0):
                 dist = jnp.full_like(dist, -1.0 if include_self else jnp.inf)
             d2.append(dist)
-        d2 = jnp.stack(d2, axis=1)
+        d2 = jnp.stack(d2, axis=2)               # (b, N/p, num_off)
         _, sel = jax.lax.top_k(-d2, k)
-        dxyz = off_arr[sel]                                  # (local_N, k, 3)
+        dxyz = off_arr[sel]                      # (b, N/p, k, 3)
 
         shard = jax.lax.axis_index(PARTICLE_AXIS)
         ii = jnp.arange(local_x * cells * cells, dtype=jnp.int32)
         x = ii // (cells * cells) + shard * local_x
         y = (ii // cells) % cells
         z = ii % cells
-        nx = jnp.mod(x[:, None] + dxyz[..., 0], cells)
-        ny = jnp.mod(y[:, None] + dxyz[..., 1], cells)
-        nz = jnp.mod(z[:, None] + dxyz[..., 2], cells)
+        nx = jnp.mod(x[None, :, None] + dxyz[..., 0], cells)
+        ny = jnp.mod(y[None, :, None] + dxyz[..., 1], cells)
+        nz = jnp.mod(z[None, :, None] + dxyz[..., 2], cells)
         return ((nx * cells + ny) * cells + nz).astype(jnp.int32)
 
     fn = shard_map(local_knn, mesh=mesh,
-                   in_specs=P(PARTICLE_AXIS, None),
-                   out_specs=P(PARTICLE_AXIS, None))
+                   in_specs=P(DATA_AXIS, PARTICLE_AXIS, None),
+                   out_specs=P(DATA_AXIS, PARTICLE_AXIS, None))
     return fn(pos)
+
+
+def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
+                        box: float = 1.0, include_self: bool = True,
+                        window: int = 3) -> jnp.ndarray:
+    """Unbatched halo-exchange lattice kNN: pos (N, 3) sharded
+    P("particle") -> idx (N, k).  See knn_lattice_sharded_batch."""
+    return knn_lattice_sharded_batch(pos[None], k, cells, mesh, box,
+                                     include_self, window)[0]
 
 
 def knn_periodic_sharded(pos: jnp.ndarray, k: int, mesh: Mesh,

@@ -107,10 +107,20 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset if dataset is not None else make_dataset(cfg.data)
         box = 4.0 * self.dataset.cells
-        self.model = build_model(cfg.model, box=box)
+        tcfg = cfg.train
+        # mesh first: a particle-sharded mesh routes the graph families'
+        # in-step kNN through the halo-exchange shard_map search (ppermute
+        # of 2*window*cells^2 boundary positions per shard) instead of
+        # leaving GSPMD to partition the full-cube roll search
+        mesh_for_model = None
+        if (tcfg.particle_axis > 1
+                and not (tcfg.ensemble and tcfg.ensemble > 1)):
+            from nbody_tpu.parallel.mesh import make_mesh
+            mesh_for_model = make_mesh(data=tcfg.data_axis,
+                                       particle=tcfg.particle_axis)
+        self.model = build_model(cfg.model, box=box, mesh=mesh_for_model)
         self.optimizer = optax.adam(cfg.train.learn_rate)
         self.state = init_train_state(self.model, self.optimizer, cfg.model.seed)
-        tcfg = cfg.train
         self.ensemble = int(tcfg.ensemble or 0)
         if self.ensemble > 1 and tcfg.data_axis * tcfg.particle_axis > 1:
             raise ValueError("--ensemble is its own parallelism layout; "
@@ -148,8 +158,9 @@ class Trainer:
                 raise ValueError(
                     f"num_particles={self.dataset.num_particles} must divide "
                     f"by particle_axis={tcfg.particle_axis}")
-            self.mesh = make_mesh(data=tcfg.data_axis,
-                                  particle=tcfg.particle_axis)
+            self.mesh = (mesh_for_model if mesh_for_model is not None
+                         else make_mesh(data=tcfg.data_axis,
+                                        particle=tcfg.particle_axis))
             self.batch_sharding = S.batch_sharding(self.mesh)
             self.train_step = S.make_sharded_train_step(
                 self.model, self.optimizer, self.mesh)
