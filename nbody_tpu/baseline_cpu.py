@@ -132,6 +132,77 @@ def measure_reference_graph_step(cells: int = 32, batch: int = 4, k: int = 14,
     }
 
 
+def measure_reference_15op_step(cells: int = 32, batch: int = 4, k: int = 14,
+                                iters: int = 2, warmup: int = 1,
+                                seed: int = 0) -> dict:
+    """Time the reference-pipeline equivalent of the 15-operator family:
+    per-step host sklearn PBC-kNN + CPU jitted 15-op network step.
+
+    The reference's own 15-op path was never runnable (its adj-dict builder
+    does not exist anywhere in the repo — SURVEY.md C12), so this measured
+    emulation IS the denominator for the family's speedup claims: the same
+    symmetrized-graph math (oracle-tested against COO semantics), host
+    graph build per step like the reference intended, CPU XLA network —
+    strictly faster than the TF1 feed_dict original would have been.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from nbody_tpu import config as C
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+    from nbody_tpu.models.shiftinv15 import (init_shiftinv15_params,
+                                             shiftinv15_model)
+    from nbody_tpu.physics.losses import loss_za
+
+    box = 4.0 * cells
+    n = cells ** 3
+    raw = synthetic_raw_cubes(num_samples=batch * (iters + warmup),
+                              cells=cells, seed=seed)
+    x = features_from_raw(raw)
+
+    params = init_shiftinv15_params(jax.random.PRNGKey(1),
+                                    list(C.GRAPH_CHANNELS))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def net_step(params, opt_state, pos, za, idx, y):
+        def loss(p):
+            return loss_za(shiftinv15_model(p, pos, za, idx, box), y)
+
+        lv, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, lv
+
+    def full_step(params, opt_state, batch_x):
+        x_in, y = split_batch(batch_x)
+        q = x_in[..., :3] + box / 2.0
+        za = x_in[..., 3:6]
+        pos = q + za
+        pos_norm = np.mod(pos / box, 1.0)
+        idx = np.stack([pbc_knn_host(pos_norm[i], k) for i in range(batch)])
+        return net_step(params, opt_state, jnp.asarray(pos), jnp.asarray(za),
+                        jnp.asarray(idx), jnp.asarray(y))
+
+    times = []
+    for i in range(warmup + iters):
+        bx = x[i * batch:(i + 1) * batch]
+        t0 = time.perf_counter()
+        params, opt_state, lv = full_step(params, opt_state, bx)
+        jax.block_until_ready(lv)
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+    sec = float(np.median(times))
+    return {
+        "config": f"shiftinv15 graph step, {cells}^3 cube, b={batch}, K={k}, "
+                  "host sklearn PBC-kNN per step + CPU jit 15-op network",
+        "sec_per_step": sec,
+        "particle_steps_per_sec": batch * n / sec,
+    }
+
+
 def measure_reference_set_step(cells: int = 32, batch: int = 4,
                                iters: int = 5, warmup: int = 2,
                                seed: int = 0) -> dict:
@@ -176,15 +247,23 @@ def main():
     p.add_argument("-b", "--batch", type=int, default=4)
     p.add_argument("-k", "--kneighbors", type=int, default=14)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--family", type=str, default="all",
+                   choices=["all", "graph", "graph15", "set"])
     args = p.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    graph = measure_reference_graph_step(args.cells, args.batch,
-                                         args.kneighbors, args.iters)
-    sset = measure_reference_set_step(args.cells, args.batch)
-    print(json.dumps({"graph": graph, "set": sset}))
+    out = {}
+    if args.family in ("all", "graph"):
+        out["graph"] = measure_reference_graph_step(
+            args.cells, args.batch, args.kneighbors, args.iters)
+    if args.family in ("all", "graph15"):
+        out["graph15"] = measure_reference_15op_step(
+            args.cells, args.batch, args.kneighbors)
+    if args.family in ("all", "set"):
+        out["set"] = measure_reference_set_step(args.cells, args.batch)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -259,23 +259,49 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
 
     n = h.shape[2]
     out = mm(h, w[0])                                            # 1 identity
-    # 2 transpose: an edge PERMUTATION, so it commutes with the channel
-    # matmul — apply W first whenever it shrinks the width (the transpose's
-    # K-wide-row gather is the most expensive op in this family; its cost
-    # is linear in the channel count it moves)
-    if w.shape[-1] < w.shape[-2]:
-        out += _transpose(mm(h, w[1]), g, band, lattice, masks)
-    else:
-        out += mm(_transpose(h, g, band, lattice, masks), w[1])
-    out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
     # ops 4, 8, 14 all end in the same col-broadcast (a gather) and ops
     # 5, 7, 15 in the same row-broadcast — gather and broadcast are linear,
     # so each group is ONE gather of the summed projected fields instead
     # of three (6 -> 2 mask/band passes per layer)
     x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
     x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
-    out += _bcast_col(x_col, g, band, lattice, masks)            # 4, 8, 14
-    out += _bcast_row(x_row, g, band, lattice, masks)            # 5, 7, 15
+    if masks is not None:
+        # masked path: the transpose's K*C-wide row gather and both
+        # broadcast gathers fuse into ONE channel-concatenated gather —
+        # the shared-mask traffic is channel-independent, so this layer
+        # costs exactly TWO mask passes forward (the s2 scatter above and
+        # this gather), the same as a 4-op layer.
+        # 2 transpose: an edge PERMUTATION commutes with the channel
+        # matmul — apply W first whenever it shrinks the moved width.
+        pre_w = w.shape[-1] < w.shape[-2]
+        hin = mm(h, w[1]) if pre_w else h
+        cw = hin.shape[-1]
+        bsz, _, _, k, _ = h.shape
+        qd = x_col.shape[-1]
+        payload = jnp.concatenate(
+            [hin[:, 0].reshape(bsz, n, k * cw), x_col, x_row], axis=-1)
+        gg = neighbor_gather(payload, g.idx, band, lattice, masks=masks)
+        rows_wide = gg[..., :k * cw]
+        sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)     # (b, N, K, K)
+        from_a = sum(rows_wide[..., j * cw:(j + 1) * cw] * sel[..., j, None]
+                     for j in range(k))
+        rev_exists = (1.0 - g.mask_b)[..., None]
+        ta = from_a * rev_exists + hin[:, 1] * g.mask_b[..., None]
+        tb = hin[:, 0] * g.mask_b[..., None]
+        t = jnp.stack([ta, tb], axis=1)
+        out += t if pre_w else mm(t, w[1])
+        g_col = gg[..., k * cw:k * cw + qd]
+        g_row = gg[..., k * cw + qd:]
+        out += jnp.stack([g_col + x_row[:, :, None, :],
+                          x_col[:, :, None, :] + g_row], axis=1)  # 4,8,14 + 5,7,15
+    else:
+        if w.shape[-1] < w.shape[-2]:
+            out += _transpose(mm(h, w[1]), g, band, lattice, masks)
+        else:
+            out += mm(_transpose(h, g, band, lattice, masks), w[1])
+        out += _bcast_col(x_col, g, band, lattice, masks)        # 4, 8, 14
+        out += _bcast_row(x_row, g, band, lattice, masks)        # 5, 7, 15
+    out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
     out += _at_dia(mm(h_r, w[5]), h)                             # 6 rows->diag
     out += _at_dia(mm(h_c, w[8]), h)                             # 9 cols->diag
     out += mm(h_a, w[9])[:, None, None, None, :]                 # 10 all->all
