@@ -222,15 +222,18 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
         if any(lat[0] % d for d in core):
             continue
         _, ext = block_geometry(lat[0], lat[1], core)
-        est = (b * n * k * ext[0] * ext[1] * ext[2]
+        # slot 0 is the self edge (knn include_self): its masks are dropped
+        # (identity copy), so the array covers K-1 slots — 1/K less of the
+        # step's dominant HBM traffic (ops/blocked.block_masks)
+        est = (b * n * (k - 1) * ext[0] * ext[1] * ext[2]
                * jnp.dtype(mask_dt).itemsize)
         if est <= MASKED_BYTES_CAP:
-            lat3 = (lat[0], lat[1], core)
+            lat3 = (lat[0], lat[1], core, True)
             EFFECTIVE_NEIGHBOR_IMPL.update(
                 impl="masked", core=list(core), mask_bytes=int(est),
                 fallback=False)
             return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
-                               core=core), lat3
+                               core=core, drop_self_slot0=True), lat3
     import warnings
     EFFECTIVE_NEIGHBOR_IMPL.update(
         impl="block", core=None, mask_bytes=None, fallback=True)

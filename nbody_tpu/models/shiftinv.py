@@ -125,7 +125,8 @@ def shiftinv_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
 
 
 def _shift_inv_layer_blocks(hB: jnp.ndarray, layer_params, masks, cells,
-                            window, counts, is_last: bool, core=None):
+                            window, counts, is_last: bool, core=None,
+                            self_free: bool = False):
     """4-op layer on BLOCK-MAJOR edges hB (b, NB, R, K, C) via the shared
     masks (ops/blocked).  Semantically identical to shift_inv_layer; keeping
     the big edge tensors block-major drops two full-tensor reorders per
@@ -141,15 +142,17 @@ def _shift_inv_layer_blocks(hB: jnp.ndarray, layer_params, masks, cells,
     h1 = jnp.einsum("bnrkc,cq->bnrkq", hB, w[0], preferred_element_type=dt)
 
     def seg_mean(e):
-        s = masked_scatter_add_blocks(e, masks, cells, window, core=core)
+        s = masked_scatter_add_blocks(e, masks, cells, window, core=core,
+                                      self_slot0=self_free)
         return s / jnp.maximum(counts, 1.0)[..., None]
 
     if q < c_in:
         hw = jnp.einsum("bnrkc,cq->bnrkq", hB, w[1], preferred_element_type=dt)
-        h2 = masked_gather_blocks(seg_mean(hw), masks, cells, window, core=core)
+        h2 = masked_gather_blocks(seg_mean(hw), masks, cells, window,
+                                  core=core, self_slot0=self_free)
     else:
         pooled = masked_gather_blocks(seg_mean(hB), masks, cells, window,
-                                      core=core)
+                                      core=core, self_slot0=self_free)
         h2 = jnp.einsum("bnrkc,cq->bnrkq", pooled, w[1],
                         preferred_element_type=dt)
 
@@ -170,22 +173,25 @@ def _shiftinv_network_blocks(params, edges: jnp.ndarray, masks, lattice,
                              activation, remat: bool) -> jnp.ndarray:
     """Masked-path network: edges enter/leave in cube layout exactly once."""
     from nbody_tpu.ops.blocked import (edges_cube_to_blocks, lattice_core,
+                                       lattice_self_free,
                                        nodes_blocks_to_cube,
                                        masked_scatter_add_blocks)
     cells, window = lattice[0], lattice[1]
     core = lattice_core(lattice)
+    self_free = lattice_self_free(lattice)
     b, n, k, _ = edges.shape
     hB = edges_cube_to_blocks(edges, cells, core=core)
     ones = jnp.ones(hB.shape[:4] + (1,), edges.dtype)
     counts = jax.lax.stop_gradient(
         masked_scatter_add_blocks(ones, masks, cells, window,
-                                  core=core))[..., 0]
+                                  core=core, self_slot0=self_free))[..., 0]
     num_layers = len(params)
     for i, layer_params in enumerate(params):
         is_last = i == num_layers - 1
         fn = functools.partial(_shift_inv_layer_blocks, masks=masks,
                                cells=cells, window=window, counts=counts,
-                               is_last=is_last, core=core)
+                               is_last=is_last, core=core,
+                               self_free=self_free)
         if remat:
             fn = jax.checkpoint(fn)
         hB = fn(hB, layer_params)

@@ -273,9 +273,11 @@ def neighbor_gather(values: jnp.ndarray, idx: jnp.ndarray,
     the default bf16 fast path would round above 256.  exact with bf16
     masks would defeat the purpose, so exact falls back to the idx path."""
     if masks is not None and lattice is not None and not exact:
-        from nbody_tpu.ops.blocked import lattice_core, masked_gather
+        from nbody_tpu.ops.blocked import (lattice_core, lattice_self_free,
+                                           masked_gather)
         return masked_gather(values, masks, lattice[0], lattice[1],
-                             core=lattice_core(lattice))
+                             core=lattice_core(lattice),
+                             self_slot0=lattice_self_free(lattice))
     return _neighbor_gather_idx(values, idx, band, lattice, exact)
 
 
@@ -285,9 +287,11 @@ def neighbor_scatter_add(vals: jnp.ndarray, idx: jnp.ndarray,
                          masks: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched scatter-add: vals (b, N, K, C), idx (b, N, K) -> (b, N, C)."""
     if masks is not None and lattice is not None and not exact:
-        from nbody_tpu.ops.blocked import lattice_core, masked_scatter_add
+        from nbody_tpu.ops.blocked import (lattice_core, lattice_self_free,
+                                           masked_scatter_add)
         return masked_scatter_add(vals, masks, lattice[0], lattice[1],
-                                  core=lattice_core(lattice))
+                                  core=lattice_core(lattice),
+                                  self_slot0=lattice_self_free(lattice))
     return _neighbor_scatter_add_idx(vals, idx, band, lattice, exact)
 
 

@@ -69,7 +69,7 @@ def set_masked_core(core: Tuple[int, int, int]):
 
 
 def lattice_core(lattice) -> Tuple[int, int, int]:
-    """Core shape carried by a lattice tuple: (cells, window[, core]).
+    """Core shape carried by a lattice tuple: (cells, window[, core[, sf]]).
 
     The registry appends the chosen core when it builds shared masks (it
     may pick a smaller core than MASKED_CORE to fit the mask HBM budget at
@@ -77,6 +77,15 @@ def lattice_core(lattice) -> Tuple[int, int, int]:
     if lattice is not None and len(lattice) > 2 and lattice[2]:
         return tuple(lattice[2])
     return MASKED_CORE
+
+
+def lattice_self_free(lattice) -> bool:
+    """Whether the lattice tuple's masks were built with the self slot
+    dropped (block_masks drop_self_slot0=True): slot 0 of every edge row is
+    the particle itself (knn include_self guarantee), so its selection is
+    an identity copy — the masks cover only slots 1..K-1, cutting mask HBM
+    bytes (the step's dominant traffic) by 1/K."""
+    return lattice is not None and len(lattice) > 3 and bool(lattice[3])
 
 
 def block_geometry(cells: int, window: int, core=None):
@@ -225,7 +234,8 @@ def edge_block_positions(idx: jnp.ndarray, cells: int, window: int,
 
 
 def block_masks(idx: jnp.ndarray, cells: int, window: int,
-                dtype=jnp.bfloat16, core=None) -> jnp.ndarray:
+                dtype=jnp.bfloat16, core=None,
+                drop_self_slot0: bool = False) -> jnp.ndarray:
     """(B, N, K) lattice-kNN ids -> (B, NB, ET, P) one-hot selection masks.
 
     The masks depend only on idx, so they are computed ONCE per train step
@@ -235,9 +245,18 @@ def block_masks(idx: jnp.ndarray, cells: int, window: int,
     neighbor op becomes one XLA batched matmul with no Mosaic per-grid-step
     floor and no per-op one-hot regeneration.
 
+    drop_self_slot0: idx[:, :, 0] is the particle itself (the knn
+    include_self guarantee) — its selection is an identity copy, so the
+    masks cover slots 1..K-1 only (ET = R*(K-1)): 1/K less mask HBM
+    traffic, which is the step's dominant cost.  Consumers must then pass
+    self_slot0=True to masked_gather/masked_scatter_add (the registry
+    records this on the lattice tuple; see lattice_self_free).
+
     {0, 1} are exact in bf16, so bf16 masks lose nothing on the one-hot
     side; pass dtype=jnp.float32 for exact-mode dots.
     """
+    if drop_self_slot0:
+        idx = idx[:, :, 1:]
     b, n, k = idx.shape
     core = core or MASKED_CORE
     _, (ex, ey, ez) = block_geometry(cells, window, core)
@@ -247,10 +266,13 @@ def block_masks(idx: jnp.ndarray, cells: int, window: int,
 
 
 def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                  window: int, core=None) -> jnp.ndarray:
+                  window: int, core=None,
+                  self_slot0: bool = False) -> jnp.ndarray:
     """values (B, N, C), masks from block_masks -> (B, N, K, C).
 
-    One XLA batched matmul per call: (NB x) (ET, P) @ (P, C)."""
+    One XLA batched matmul per call: (NB x) (ET, P) @ (P, C).
+    self_slot0: masks were built with drop_self_slot0 — slot 0 of the
+    output is the identity copy of `values` (zero mask traffic for it)."""
     b, n, c = values.shape
     core = core or MASKED_CORE
     bx, by, bz = core
@@ -260,16 +282,25 @@ def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
     out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
     out = out.reshape(b, -1, r, k * c)
-    return blocks_to_cube(out, cells, core).reshape(b, n, k, c).astype(
+    out = blocks_to_cube(out, cells, core).reshape(b, n, k, c).astype(
         values.dtype)
+    if self_slot0:
+        out = jnp.concatenate([values[:, :, None, :], out], axis=2)
+    return out
 
 
 def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                       window: int, core=None) -> jnp.ndarray:
+                       window: int, core=None,
+                       self_slot0: bool = False) -> jnp.ndarray:
     """vals (B, N, K, C), masks from block_masks -> (B, N, C) sums by id.
 
     The transposed batched matmul of masked_gather, plus the overlap-add
-    fold of per-block patch accumulations."""
+    fold of per-block patch accumulations.  self_slot0: slot 0 targets the
+    particle itself — added directly, outside the masks."""
+    self_part = None
+    if self_slot0:
+        self_part = vals[:, :, 0, :]
+        vals = vals[:, :, 1:, :]
     b, n, k, c = vals.shape
     core = core or MASKED_CORE
     bx, by, bz = core
@@ -277,11 +308,15 @@ def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
     v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
     acc = jnp.einsum("bnep,bnec->bnpc", masks, v_blocks.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
-    return patches_fold(acc, cells, window, core).astype(vals.dtype)
+    out = patches_fold(acc, cells, window, core).astype(vals.dtype)
+    if self_part is not None:
+        out = out + self_part
+    return out
 
 
 def masked_gather_blocks(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
-                         window: int, core=None) -> jnp.ndarray:
+                         window: int, core=None,
+                         self_slot0: bool = False) -> jnp.ndarray:
     """Cube node field (B, N, C) -> BLOCK-MAJOR edges (B, NB, R, K, C).
 
     Like masked_gather but skips the blocks_to_cube transpose of the big
@@ -295,19 +330,30 @@ def masked_gather_blocks(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
     patches = block_patches(values, cells, window, core)  # (B, NB, P, C)
     out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
-    return out.reshape(b, -1, r, k, c).astype(values.dtype)
+    out = out.reshape(b, -1, r, k, c).astype(values.dtype)
+    if self_slot0:
+        selfv = cube_to_blocks(values, cells, core)       # (B, NB, R, C)
+        out = jnp.concatenate([selfv[:, :, :, None, :], out], axis=3)
+    return out
 
 
 def masked_scatter_add_blocks(vals: jnp.ndarray, masks: jnp.ndarray,
-                              cells: int, window: int,
-                              core=None) -> jnp.ndarray:
+                              cells: int, window: int, core=None,
+                              self_slot0: bool = False) -> jnp.ndarray:
     """BLOCK-MAJOR edges (B, NB, R, K, C) -> cube node sums (B, N, C)."""
+    self_part = None
+    if self_slot0:
+        self_part = vals[:, :, :, 0, :]                   # (B, NB, R, C)
+        vals = vals[:, :, :, 1:, :]
     b, nb, r, k, c = vals.shape
     core = core or MASKED_CORE
     v = vals.reshape(b, nb, r * k, c)
     acc = jnp.einsum("bnep,bnec->bnpc", masks, v.astype(masks.dtype),
                      preferred_element_type=jnp.float32)
-    return patches_fold(acc, cells, window, core).astype(vals.dtype)
+    out = patches_fold(acc, cells, window, core).astype(vals.dtype)
+    if self_part is not None:
+        out = out + blocks_to_cube(self_part, cells, core)
+    return out
 
 
 def edges_cube_to_blocks(edges: jnp.ndarray, cells: int,
