@@ -74,7 +74,21 @@ def main(argv=None) -> int:
         model = trainer.model
 
     stacked = stack_params(params_seq)
-    rollout = make_rollout(model)
+    # continuous coverage along the chain: displacements grow step over
+    # step, so the lattice window is monitored INSIDE the jitted rollout
+    # (same guard class as Trainer._make_coverage_margin_fn)
+    cov_fn = None
+    if cfg.model.family not in ("set", "attn") \
+            and cfg.model.knn_method == "lattice":
+        cells = cfg.data.cells_per_side
+        box = 4.0 * cells
+        from nbody_tpu.ops.knn import lattice_violations
+
+        def cov_fn(x_in):
+            pos = x_in[..., :3] + box / 2.0 + x_in[..., 3:6]
+            return lattice_violations(pos, cells, box=box,
+                                      window=cfg.model.knn_window)
+    rollout = make_rollout(model, coverage_fn=cov_fn)
 
     # rollout from the first pair's test inputs; truth chain = per-step
     # targets accumulated the same way the rollout accumulates predictions
@@ -91,14 +105,24 @@ def main(argv=None) -> int:
     truth = jnp.stack(truth)
 
     final, traj = rollout(stacked, x0)
+    cov_counts = None
+    if cov_fn is not None:
+        traj, cov_counts = traj
+        cov_counts = np.asarray(jax.device_get(cov_counts))
+        if cov_counts.any():
+            print(f"WARNING: lattice coverage margin violated mid-chain "
+                  f"(per-step counts {cov_counts.tolist()}) — displacement "
+                  "growth exceeds the search window; increase knn_window.")
     per_step_mse = np.asarray(jax.vmap(loss_za)(traj, truth))
     print("\nRollout position MSE per chain step:")
     for t, m in enumerate(per_step_mse):
         print(f"  step {t} (z {C.REDSHIFTS[t]:.3f} -> {C.REDSHIFTS[t+1]:.3f})"
               f" : {m:.6f}")
     saver.save_cube(np.stack([np.asarray(truth), np.asarray(traj)]))
-    saver.append_metrics({"rollout_mse": per_step_mse.tolist(),
-                          "steps": steps})
+    rec = {"rollout_mse": per_step_mse.tolist(), "steps": steps}
+    if cov_counts is not None:
+        rec["coverage_margin_violations"] = cov_counts.tolist()
+    saver.append_metrics(rec)
     print(json.dumps({"rollout_final_mse": float(per_step_mse[-1])}))
     return 0
 

@@ -27,13 +27,21 @@ def stack_params(params_seq: Sequence[Any]):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_seq)
 
 
-def make_rollout(model: Model, jit: bool = True) -> Callable:
+def make_rollout(model: Model, jit: bool = True,
+                 coverage_fn: Callable = None) -> Callable:
     """Build rollout(stacked_params, x_in0) -> (final_disp, trajectory).
 
     stacked_params: pytree with leading axis T (one slice per redshift pair);
     x_in0 (b, N, 6) = [centered grid, initial displacement].
     Returns final displacement (b, N, 3) and the trajectory (T, b, N, 3) of
     displacements after each step.
+
+    coverage_fn (optional): jittable (x_in (b, N, 6)) -> scalar count,
+    evaluated on EVERY step's input inside the scan — displacements grow
+    along a rollout chain, so the lattice search window that covered step 0
+    can stop covering later steps (the continuous-guard class,
+    trainer._make_coverage_margin_fn).  When given, rollout returns
+    (final, (traj, per_step_counts)).
     """
 
     def rollout(stacked_params, x_in0):
@@ -42,6 +50,8 @@ def make_rollout(model: Model, jit: bool = True) -> Callable:
         def step(disp, params):
             x_in = jnp.concatenate([q, disp], axis=-1)
             new_disp = disp + model.apply(params, x_in)
+            if coverage_fn is not None:
+                return new_disp, (new_disp, coverage_fn(x_in))
             return new_disp, new_disp
 
         final, traj = jax.lax.scan(step, x_in0[..., 3:6], stacked_params)

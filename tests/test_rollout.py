@@ -79,3 +79,39 @@ def test_chain_cli_end_to_end(tmp_path, monkeypatch, capsys):
     cube = np.load(tmp_path / "exp" / "ZA-FPM_0_chaintest" / "Results" /
                    "X_0_prediction.npy")
     assert cube.shape[0] == 2 and cube.shape[1] == 2  # (truth/pred, steps,...)
+
+
+def test_rollout_coverage_monitor_counts_per_step():
+    """The in-rollout coverage monitor reports per-step margin counts and
+    trips when displacement growth exceeds the lattice window."""
+    import jax.numpy as jnp
+    from nbody_tpu.ops.knn import lattice_violations
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+
+    cells, k = 8, 4
+    box = 4.0 * cells
+    cfg = C.ModelConfig(family="shiftinv", channels=(3, 6, 3), k_neighbors=k,
+                        knn_window=2, seed=2)
+    model = build_model(cfg, box=box)
+    params = [model.init(jax.random.PRNGKey(s)) for s in (0, 1, 2)]
+
+    def cov(x_in):
+        pos = x_in[..., :3] + box / 2.0 + x_in[..., 3:6]
+        return lattice_violations(pos, cells, box=box, window=2)
+
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=0)
+    x0, _ = split_batch(jnp.asarray(features_from_raw(raw)))
+
+    ro = make_rollout(model, coverage_fn=cov)
+    _, (traj, counts) = ro(stack_params(params), x0)
+    assert counts.shape == (3,)
+    assert int(counts[0]) == 0       # healthy first step
+
+    # inflate the initial displacement far beyond the window: every step's
+    # monitor must trip
+    x_big = x0.at[..., 3:6].multiply(30.0)
+    _, (_, counts_big) = ro(stack_params(params), x_big)
+    assert int(counts_big[0]) > 0
