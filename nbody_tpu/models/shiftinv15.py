@@ -270,9 +270,21 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
         # broadcast gathers fuse into ONE channel-concatenated gather —
         # the shared-mask traffic is channel-independent, so this layer
         # costs exactly TWO mask passes forward (the s2 scatter above and
-        # this gather), the same as a 4-op layer.
+        # this gather), the same as a 4-op layer.  The gather's output
+        # stays BLOCK-MAJOR (masked_gather_blocks): reordering the
+        # (b, N, K, K*C + 2q) wide tensor to cube layout would be the
+        # layer's largest non-mask traffic; instead the slot contraction
+        # and broadcast adds run block-major and only the two q-wide
+        # results reorder back.
         # 2 transpose: an edge PERMUTATION commutes with the channel
         # matmul — apply W first whenever it shrinks the moved width.
+        from nbody_tpu.ops.blocked import (blocks_to_cube, cube_to_blocks,
+                                           edges_cube_to_blocks,
+                                           lattice_core, lattice_self_free,
+                                           masked_gather_blocks)
+        core = lattice_core(lattice)
+        sf = lattice_self_free(lattice)
+        cl, win = lattice[0], lattice[1]
         pre_w = w.shape[-1] < w.shape[-2]
         hin = mm(h, w[1]) if pre_w else h
         cw = hin.shape[-1]
@@ -280,20 +292,36 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
         qd = x_col.shape[-1]
         payload = jnp.concatenate(
             [hin[:, 0].reshape(bsz, n, k * cw), x_col, x_row], axis=-1)
-        gg = neighbor_gather(payload, g.idx, band, lattice, masks=masks)
-        rows_wide = gg[..., :k * cw]
-        sel = jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype)     # (b, N, K, K)
-        from_a = sum(rows_wide[..., j * cw:(j + 1) * cw] * sel[..., j, None]
-                     for j in range(k))
-        rev_exists = (1.0 - g.mask_b)[..., None]
-        ta = from_a * rev_exists + hin[:, 1] * g.mask_b[..., None]
-        tb = hin[:, 0] * g.mask_b[..., None]
-        t = jnp.stack([ta, tb], axis=1)
-        out += t if pre_w else mm(t, w[1])
-        g_col = gg[..., k * cw:k * cw + qd]
-        g_row = gg[..., k * cw + qd:]
-        out += jnp.stack([g_col + x_row[:, :, None, :],
-                          x_col[:, :, None, :] + g_row], axis=1)  # 4,8,14 + 5,7,15
+        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
+                                   self_slot0=sf)   # (b, NB, R, K, W)
+        selB = cube_to_blocks(
+            jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype).reshape(
+                bsz, n, k * k), cl, core)
+        selB = selB.reshape(ggB.shape[:3] + (k, k))
+        mbB = cube_to_blocks(g.mask_b, cl, core)    # (b, NB, R, K)
+        hin0B = edges_cube_to_blocks(hin[:, 0], cl, core)
+        hin1B = edges_cube_to_blocks(hin[:, 1], cl, core)
+        rows_wideB = ggB[..., :k * cw]
+        from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
+                      * selB[..., j, None] for j in range(k))
+        taB = (from_aB * (1.0 - mbB)[..., None]
+               + hin1B * mbB[..., None])
+        tbB = hin0B * mbB[..., None]
+        tB = jnp.stack([taB, tbB], axis=1)          # (b, 2, NB, R, K, cw)
+        if not pre_w:
+            tB = mm(tB, w[1])
+        g_colB = ggB[..., k * cw:k * cw + qd]
+        g_rowB = ggB[..., k * cw + qd:]
+        x_colB = cube_to_blocks(x_col, cl, core)    # (b, NB, R, qd)
+        x_rowB = cube_to_blocks(x_row, cl, core)
+        bcB = jnp.stack([g_colB + x_rowB[:, :, :, None, :],
+                         x_colB[:, :, :, None, :] + g_rowB],
+                        axis=1)                     # 4,8,14 + 5,7,15
+        resB = tB + bcB                             # (b, 2, NB, R, K, q)
+        nb, r = resB.shape[2], resB.shape[3]
+        res = blocks_to_cube(
+            resB.reshape(bsz * 2, nb, r, k * w.shape[-1]), cl, core)
+        out += res.reshape(bsz, 2, n, k, w.shape[-1])
     else:
         if w.shape[-1] < w.shape[-2]:
             out += _transpose(mm(h, w[1]), g, band, lattice, masks)
