@@ -39,6 +39,7 @@ def main(argv=None) -> int:
     dataset = make_dataset(cfg.data)
     trainer = Trainer(cfg, dataset=dataset, saver=saver)
     trainer.state = saver.restore_checkpoint(trainer.state)
+    trainer.place_state()
     print(f"Restored checkpoint at step {int(trainer.state.step)}")
 
     test_error, test_predictions = trainer.evaluate("test")

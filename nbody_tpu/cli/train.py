@@ -36,6 +36,7 @@ def main(argv=None) -> int:
 
     if cfg.train.restore:
         trainer.state = saver.restore_checkpoint(trainer.state)
+        trainer.place_state()
         print(f"Restored checkpoint at step {int(trainer.state.step)}")
 
     print(f"\nTraining ({cfg.model.family}, N={dataset.num_particles}, "

@@ -229,6 +229,25 @@ class Trainer:
             return jnp.asarray(x)
         return jax.device_put(jnp.asarray(x), self.batch_sharding)
 
+    def place_state(self):
+        """Re-place self.state onto the configured mesh layout.  Call after
+        assigning a restored checkpoint: orbax returns single-device arrays,
+        and the jitted steps' in_shardings (replicated params, or the
+        ensemble's member-sharded stack) require placed inputs."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        if self.ensemble > 1:
+            from nbody_tpu.parallel.ensemble import ensemble_sharding
+            esh = ensemble_sharding(self.mesh)
+        else:
+            esh = rep
+        self.state = TrainState(
+            jax.device_put(self.state.params, esh),
+            jax.device_put(self.state.opt_state, esh),
+            jax.device_put(self.state.step, rep))
+
     def _log(self, rec: dict):
         self.metrics_log.append(rec)
         if self.saver is not None:

@@ -242,3 +242,22 @@ def test_ensemble_trainer_scan_matches_per_step():
     l1 = t1.fit(verbose=False)
     l2 = t2.fit_scan(scan_chunk=2, verbose=False)
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_eval_cli_restores_ensemble(tmp_path, monkeypatch, capsys):
+    """Ensemble checkpoints (stacked members) restore through the eval CLI
+    and reproduce the training run's test error exactly."""
+    from nbody_tpu.cli import train as cli_train
+    from nbody_tpu.cli import eval as cli_eval
+    monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
+    common = ["-b", "2", "-t", "2", "--synthetic", "--cells", "8",
+              "-c", "6", "8", "3", "--model", "set", "-n", "ensrestore",
+              "--ensemble", "4"]
+    assert cli_train.main(["-i", "4"] + common) == 0
+    out1 = capsys.readouterr().out
+    med1 = [l for l in out1.splitlines() if "median" in l][-1]
+    assert cli_eval.main(common) == 0
+    out2 = capsys.readouterr().out
+    assert "Restored checkpoint at step 4" in out2
+    med2 = [l for l in out2.splitlines() if "median" in l][-1]
+    assert med1 == med2
