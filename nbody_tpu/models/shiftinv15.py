@@ -265,70 +265,12 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     # of three (6 -> 2 mask/band passes per layer)
     x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
     x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
-    if masks is not None:
-        # masked path: the transpose's K*C-wide row gather and both
-        # broadcast gathers fuse into ONE channel-concatenated gather —
-        # the shared-mask traffic is channel-independent, so this layer
-        # costs exactly TWO mask passes forward (the s2 scatter above and
-        # this gather), the same as a 4-op layer.  The gather's output
-        # stays BLOCK-MAJOR (masked_gather_blocks): reordering the
-        # (b, N, K, K*C + 2q) wide tensor to cube layout would be the
-        # layer's largest non-mask traffic; instead the slot contraction
-        # and broadcast adds run block-major and only the two q-wide
-        # results reorder back.
-        # 2 transpose: an edge PERMUTATION commutes with the channel
-        # matmul — apply W first whenever it shrinks the moved width.
-        from nbody_tpu.ops.blocked import (blocks_to_cube, cube_to_blocks,
-                                           edges_cube_to_blocks,
-                                           lattice_core, lattice_self_free,
-                                           masked_gather_blocks)
-        core = lattice_core(lattice)
-        sf = lattice_self_free(lattice)
-        cl, win = lattice[0], lattice[1]
-        pre_w = w.shape[-1] < w.shape[-2]
-        hin = mm(h, w[1]) if pre_w else h
-        cw = hin.shape[-1]
-        bsz, _, _, k, _ = h.shape
-        qd = x_col.shape[-1]
-        payload = jnp.concatenate(
-            [hin[:, 0].reshape(bsz, n, k * cw), x_col, x_row], axis=-1)
-        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
-                                   self_slot0=sf)   # (b, NB, R, K, W)
-        selB = cube_to_blocks(
-            jax.nn.one_hot(g.rev_pos, k, dtype=h.dtype).reshape(
-                bsz, n, k * k), cl, core)
-        selB = selB.reshape(ggB.shape[:3] + (k, k))
-        mbB = cube_to_blocks(g.mask_b, cl, core)    # (b, NB, R, K)
-        hin0B = edges_cube_to_blocks(hin[:, 0], cl, core)
-        hin1B = edges_cube_to_blocks(hin[:, 1], cl, core)
-        rows_wideB = ggB[..., :k * cw]
-        from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
-                      * selB[..., j, None] for j in range(k))
-        taB = (from_aB * (1.0 - mbB)[..., None]
-               + hin1B * mbB[..., None])
-        tbB = hin0B * mbB[..., None]
-        tB = jnp.stack([taB, tbB], axis=1)          # (b, 2, NB, R, K, cw)
-        if not pre_w:
-            tB = mm(tB, w[1])
-        g_colB = ggB[..., k * cw:k * cw + qd]
-        g_rowB = ggB[..., k * cw + qd:]
-        x_colB = cube_to_blocks(x_col, cl, core)    # (b, NB, R, qd)
-        x_rowB = cube_to_blocks(x_row, cl, core)
-        bcB = jnp.stack([g_colB + x_rowB[:, :, :, None, :],
-                         x_colB[:, :, :, None, :] + g_rowB],
-                        axis=1)                     # 4,8,14 + 5,7,15
-        resB = tB + bcB                             # (b, 2, NB, R, K, q)
-        nb, r = resB.shape[2], resB.shape[3]
-        res = blocks_to_cube(
-            resB.reshape(bsz * 2, nb, r, k * w.shape[-1]), cl, core)
-        out += res.reshape(bsz, 2, n, k, w.shape[-1])
+    if w.shape[-1] < w.shape[-2]:
+        out += _transpose(mm(h, w[1]), g, band, lattice, masks)
     else:
-        if w.shape[-1] < w.shape[-2]:
-            out += _transpose(mm(h, w[1]), g, band, lattice, masks)
-        else:
-            out += mm(_transpose(h, g, band, lattice, masks), w[1])
-        out += _bcast_col(x_col, g, band, lattice, masks)        # 4, 8, 14
-        out += _bcast_row(x_row, g, band, lattice, masks)        # 5, 7, 15
+        out += mm(_transpose(h, g, band, lattice, masks), w[1])
+    out += _bcast_col(x_col, g, band, lattice, masks)            # 4, 8, 14
+    out += _bcast_row(x_row, g, band, lattice, masks)            # 5, 7, 15
     out += _at_dia(mm(h_d, w[2]), h)                             # 3 diag->diag
     out += _at_dia(mm(h_r, w[5]), h)                             # 6 rows->diag
     out += _at_dia(mm(h_c, w[8]), h)                             # 9 cols->diag
@@ -348,6 +290,136 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
     return out
 
 
+def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
+                                 masks, lattice, selB, mbB, deg, live,
+                                 is_last: bool) -> jnp.ndarray:
+    """15-op layer on BLOCK-MAJOR edges hB (b, 2, NB, R, K, C) via the
+    shared masks — the masked-path twin of shift_inv_15op_layer.
+
+    Traffic design (the family's fast path):
+      * exactly TWO mask passes forward — the fused s2 scatter and ONE
+        channel-concatenated gather carrying the transpose's K*C-wide rows
+        plus both broadcast fields (all three are linear; shared-mask
+        traffic is channel-independent) — the same count as a 4-op layer;
+      * edge tensors stay block-major across the whole network (the wide
+        gather's (b, N, K, K*C + 2q) output never reorders to cube; node
+        fields, which are K times smaller, hop layouts instead);
+      * the five diagonal contributions (ops 3, 6, 9, 11, 13 + diag bias)
+        combine into ONE node field written to the diag slots — the cube
+        layer materializes five full-size _at_dia tensors for them.
+    """
+    from nbody_tpu.ops.blocked import (blocks_to_cube, cube_to_blocks,
+                                       lattice_core, lattice_self_free,
+                                       masked_gather_blocks,
+                                       masked_scatter_add_blocks)
+    w = layer_params["W"]        # (15, C, q)
+    bias = layer_params["B"]     # (2, q)
+    dt = hB.dtype
+    core = lattice_core(lattice)
+    sf = lattice_self_free(lattice)
+    cl, win = lattice[0], lattice[1]
+    bsz, _, nb, r, k, c_in = hB.shape
+    n = nb * r
+    q = w.shape[-1]
+
+    def mm(x, wi):
+        return jnp.einsum("...c,cq->...q", x, wi, preferred_element_type=dt)
+
+    def to_cube(xb):                     # (b, NB, R, C) -> (b, N, C)
+        return blocks_to_cube(xb, cl, core)
+
+    # pools: both scatters fused (channel concat), block A sums free
+    hbm = hB[:, 1] * mbB[..., None]
+    s2 = masked_scatter_add_blocks(
+        jnp.concatenate([hB[:, 0], hbm], axis=-1), masks, cl, win,
+        core=core, self_slot0=sf)                       # cube (b, N, 2C)
+    sum_a = to_cube(jnp.sum(hB[:, 0], axis=3))          # (b, N, C)
+    sum_bm = to_cube(jnp.sum(hbm, axis=3))
+    h_r = (s2[..., :c_in] + sum_bm) / deg[..., None]
+    h_c = (sum_a + s2[..., c_in:]) / deg[..., None]
+    h_d = to_cube(hB[:, 0, :, :, 0, :])                 # diagonal (b, N, C)
+    h_a = (jnp.sum(sum_a, axis=1) + jnp.sum(sum_bm, axis=1)) / live[:, None]
+    h_p = jnp.mean(h_d, axis=1)                         # (b, C)
+
+    out = mm(hB, w[0])                                  # 1 identity
+    # fused gather: transpose rows (2) + col-broadcast (4, 8, 14) +
+    # row-broadcast (5, 7, 15).  The transpose is an edge permutation and
+    # commutes with the channel matmul — apply W first when it shrinks.
+    x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
+    x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
+    pre_w = q < c_in
+    hinB = mm(hB, w[1]) if pre_w else hB
+    cw = hinB.shape[-1]
+    payload = jnp.concatenate(
+        [to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw)), x_col, x_row],
+        axis=-1)
+    ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
+                               self_slot0=sf)           # (b, NB, R, K, W)
+    rows_wideB = ggB[..., :k * cw]
+    from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
+                  * selB[..., j, None] for j in range(k))
+    taB = from_aB * (1.0 - mbB)[..., None] + hinB[:, 1] * mbB[..., None]
+    tbB = hinB[:, 0] * mbB[..., None]
+    tB = jnp.stack([taB, tbB], axis=1)
+    if not pre_w:
+        tB = mm(tB, w[1])
+    out += tB                                           # 2 transpose
+    g_colB = ggB[..., k * cw:k * cw + q]
+    g_rowB = ggB[..., k * cw + q:]
+    x_colB = cube_to_blocks(x_col, cl, core)
+    x_rowB = cube_to_blocks(x_row, cl, core)
+    out += jnp.stack([g_colB + x_rowB[:, :, :, None, :],
+                      x_colB[:, :, :, None, :] + g_rowB], axis=1)
+
+    # all five diagonal contributions + diag bias as ONE node field
+    diag = (mm(h_d, w[2]) + mm(h_r, w[5]) + mm(h_c, w[8])    # 3, 6, 9
+            + (mm(h_a, w[10]) + mm(h_p, w[12]) + bias[0])[:, None, :])  # 11, 13
+    out = out.at[:, 0, :, :, 0, :].add(cube_to_blocks(diag, cl, core))
+    out += (mm(h_a, w[9]) + mm(h_p, w[11]) + bias[1])[:, None, None, None,
+                                                      None, :]  # 10, 12
+    mask = jnp.stack([jnp.ones_like(mbB), mbB], axis=1)[..., None]
+    out = out * mask
+    if is_last:
+        # row pool: block A free-sums + block B masked scatter -> (b, N, q)
+        s = masked_scatter_add_blocks(out[:, 1] * mbB[..., None], masks,
+                                      cl, win, core=core, self_slot0=sf)
+        return (to_cube(jnp.sum(out[:, 0], axis=3)) + s) / deg[..., None]
+    return out
+
+
+def _shiftinv15_network_blocks(params, edges: jnp.ndarray,
+                               graph: BlockSymGraph, activation,
+                               remat: bool, lattice, masks) -> jnp.ndarray:
+    """Masked-path network: block-major edge activations end to end."""
+    import functools
+    from nbody_tpu.ops.blocked import cube_to_blocks, lattice_core
+    core = lattice_core(lattice)
+    cl = lattice[0]
+    bsz, _, n, k, c = edges.shape
+    hB = cube_to_blocks(edges.reshape(bsz * 2, n, k * c), cl, core)
+    nb, r = hB.shape[1], hB.shape[2]
+    hB = hB.reshape(bsz, 2, nb, r, k, c)
+    selB = cube_to_blocks(
+        jax.nn.one_hot(graph.rev_pos, k, dtype=edges.dtype).reshape(
+            bsz, n, k * k), cl, core).reshape(bsz, nb, r, k, k)
+    mbB = cube_to_blocks(graph.mask_b.astype(edges.dtype)[..., None]
+                         .reshape(bsz, n, k), cl, core)
+    deg = graph.deg.astype(edges.dtype)
+    live = jnp.sum(deg, axis=-1)
+    num_layers = len(params)
+    for i, layer_params in enumerate(params):
+        is_last = i == num_layers - 1
+        fn = functools.partial(_shift_inv_15op_layer_blocks, masks=masks,
+                               lattice=lattice, selB=selB, mbB=mbB,
+                               deg=deg, live=live, is_last=is_last)
+        if remat:
+            fn = jax.checkpoint(fn)
+        hB = fn(hB, layer_params)
+        if not is_last:
+            hB = activation(hB)
+    return hB
+
+
 def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                        graph: BlockSymGraph, activation=jax.nn.relu,
                        band: Optional[int] = None,
@@ -355,6 +427,9 @@ def shiftinv15_network(params: List[Dict[str, jnp.ndarray]], edges: jnp.ndarray,
                        lattice=None, masks=None) -> jnp.ndarray:
     """Layer stack (reference network_func_15op_shift_inv_za)."""
     import functools
+    if masks is not None and lattice is not None:
+        return _shiftinv15_network_blocks(params, edges, graph, activation,
+                                          remat, lattice, masks)
     h = edges
     num_layers = len(params)
     for i, layer_params in enumerate(params):
