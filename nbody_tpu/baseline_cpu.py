@@ -241,6 +241,45 @@ def measure_reference_set_step(cells: int = 32, batch: int = 4,
     }
 
 
+def measure_reference_family_step(family: str, cells: int = 32,
+                                  batch: int = 4, iters: int = 5,
+                                  warmup: int = 2, seed: int = 0) -> dict:
+    """Time a non-graph reference family (set / attn) on CPU: the
+    registry-built model's jitted train step, reference defaults."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from nbody_tpu import config as C
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.train.trainer import init_train_state, make_train_step
+
+    n = cells ** 3
+    raw = synthetic_raw_cubes(num_samples=batch * 2, cells=cells, seed=seed)
+    x = features_from_raw(raw)
+    model = build_model(C.ModelConfig(family=family), box=4.0 * cells)
+    opt = optax.adam(1e-2)
+    state = init_train_state(model, opt)
+    step = make_train_step(model, opt)
+
+    times = []
+    for i in range(warmup + iters):
+        bx = jnp.asarray(x[(i % 2) * batch:(i % 2 + 1) * batch])
+        x_in, y = split_batch(bx)
+        t0 = time.perf_counter()
+        state, lv = step(state, x_in, y)
+        jax.block_until_ready(lv)
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return {
+        "config": f"{family}-model step, {cells}^3 cube, b={batch}, CPU jit",
+        "sec_per_step": sec,
+        "particle_steps_per_sec": batch * n / sec,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cells", type=int, default=32)
@@ -248,7 +287,7 @@ def main():
     p.add_argument("-k", "--kneighbors", type=int, default=14)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--family", type=str, default="all",
-                   choices=["all", "graph", "graph15", "set"])
+                   choices=["all", "graph", "graph15", "set", "attn"])
     args = p.parse_args()
 
     import jax
@@ -263,6 +302,9 @@ def main():
             args.cells, args.batch, args.kneighbors)
     if args.family in ("all", "set"):
         out["set"] = measure_reference_set_step(args.cells, args.batch)
+    if args.family in ("all", "attn"):
+        out["attn"] = measure_reference_family_step("attn", args.cells,
+                                                    args.batch)
     print(json.dumps(out))
 
 
