@@ -143,6 +143,10 @@ class ModelConfig:
     # impl at 32^3 b4 K14 in every platform state seen so far (PERF.md
     # has the core sweep and the platform-state caveats).
     neighbor_impl: str = "masked"
+    # masked-path core block shape override (None = ops.blocked.MASKED_CORE,
+    # swept-optimal); the registry still steps down the candidate list if
+    # the mask array would exceed its HBM cap
+    masked_core: Optional[Tuple[int, int, int]] = None
 
     @property
     def num_layers(self) -> int:
@@ -220,6 +224,8 @@ def build_parser() -> argparse.ArgumentParser:
     adg("--scan", type=int, default=0, metavar="T",
         help="Fuse T optimizer steps per device dispatch (lax.scan); "
              "amortizes host latency on tunneled TPUs")
+    adg("--masked_core", type=int, nargs=3, default=None, metavar="D",
+        help="Masked-path core block shape (3 ints); default = swept optimum")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")
@@ -277,7 +283,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         family=family,
         channels=tuple(args.channels),
         k_neighbors=(args.kneighbors if args.kneighbors > 0 else NUM_NEIGHBORS),
-        seed=args.seed)
+        seed=args.seed,
+        masked_core=(tuple(args.masked_core) if args.masked_core else None))
     train = TrainConfig(
         num_iters=args.num_iters,
         batch_size=args.batch_size,

@@ -218,6 +218,8 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
     mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape
     candidates = [MASKED_CORE, (4, 4, 8), (2, 4, 8), (2, 2, 4), (2, 2, 2)]
+    if getattr(cfg, "masked_core", None):
+        candidates = [tuple(cfg.masked_core)] + candidates
     for core in candidates:
         if any(lat[0] % d for d in core):
             continue
