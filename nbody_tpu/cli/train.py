@@ -42,10 +42,20 @@ def main(argv=None) -> int:
     print(f"\nTraining ({cfg.model.family}, N={dataset.num_particles}, "
           f"b={cfg.train.batch_size}):\n{'=' * 78}")
     t0 = time.time()
-    if cfg.train.scan_chunk > 0:
-        trainer.fit_scan(scan_chunk=cfg.train.scan_chunk)
-    else:
-        trainer.fit()
+    trace_dir = getattr(args, "trace", "")
+    if trace_dir:
+        import jax
+        jax.profiler.start_trace(trace_dir)
+    try:
+        if cfg.train.scan_chunk > 0:
+            trainer.fit_scan(scan_chunk=cfg.train.scan_chunk)
+        else:
+            trainer.fit()
+    finally:
+        if trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {trace_dir}")
     print(f"Training finished!\n\tElapsed time: {(time.time() - t0) / 60:.2f}m")
     saver.save_checkpoint(trainer.state, int(trainer.state.step))
     if trainer.train_error_history:

@@ -234,6 +234,9 @@ def build_parser() -> argparse.ArgumentParser:
     adg("--platform", type=str, default="auto", choices=["auto", "cpu", "tpu"],
         help="Force a JAX platform (this machine's site config pins 'axon'; "
              "env vars alone cannot override it)")
+    adg("--trace", type=str, default="", metavar="DIR",
+        help="Capture a jax.profiler trace of the training loop into DIR "
+             "(view with TensorBoard / xprof)")
     return p
 
 
