@@ -10,6 +10,18 @@ Baseline denominator: the measured CPU reference pipeline
 (BASELINE_MEASURED.json; see nbody_tpu/baseline_cpu.py) — host sklearn
 PBC-kNN per step + jitted CPU network step, 22.75 s/step on this machine.
 
+Schedule (probe-first, VERDICT r3 #1 — a number must land inside the
+driver budget even when the axon tunnel relay is dead, the round-3
+failure mode):
+  1. 90 s tiny-jit PROBE in a subprocess (one-element fetch barrier).
+  2. live  -> full TPU measurement (540 s cap); on a timeout, re-probe
+     before the single retry — a dead re-probe goes straight to 3.
+  3. dead  -> CPU fallback at 16^3 (measured ~2.5 min wall on this
+     machine), honestly labeled, scored against the 16^3 CPU reference
+     denominator.
+Worst-case wall: dead tunnel ~9 min; live-but-hanging ~27 min; the
+common paths are ~6 min (live) and ~5 min (dead).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N}
 """
@@ -21,36 +33,83 @@ import os
 import subprocess
 import sys
 import time
+from typing import List, Tuple
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-CELLS = 32
+CELLS = int(os.environ.get("NBODY_BENCH_CELLS", "32"))
 BATCH = 4
 K = 14
 # scan length / warmup per dispatch; the CPU-fallback subprocess shrinks
-# them via env so a dead-tunnel round still records a number inside its
-# timeout (a CPU 32^3 masked step is ~5-10 minutes)
+# them via env so a dead-tunnel round still records a number in minutes
 WARMUP = int(os.environ.get("NBODY_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("NBODY_BENCH_ITERS", "10"))
+PROBE_TIMEOUT = int(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "90"))
+TPU_TIMEOUT = int(os.environ.get("NBODY_BENCH_TPU_TIMEOUT", "540"))
+FALLBACK_TIMEOUT = int(os.environ.get("NBODY_BENCH_FALLBACK_TIMEOUT", "480"))
+FALLBACK_CELLS = int(os.environ.get("NBODY_BENCH_FALLBACK_CELLS", "16"))
+
+# a minimal end-to-end device program: jit one matmul, fetch ONE element
+# (jax.block_until_ready does not reliably block on this platform)
+_PROBE_CODE = """\
+import jax, jax.numpy as jnp
+y = jax.jit(lambda a: a @ a)(jnp.ones((8, 8), jnp.float32))
+assert float(y.ravel()[0]) == 8.0
+# a CPU default platform means no TPU is reachable at all: the 32^3
+# "TPU" measurement would silently run on CPU and blow both timeouts
+assert jax.devices()[0].platform != "cpu", "default platform is cpu"
+print("PROBE_OK", jax.devices()[0].platform)
+"""
+
+
+def tunnel_alive() -> bool:
+    """Tiny-jit probe with a hard timeout, in a subprocess (the tunnel
+    hangs whole processes when the relay is down — CLAUDE.md fact 9).
+    NBODY_BENCH_SIMULATE_DEAD_TUNNEL=1 forces the dead path for testing."""
+    if os.environ.get("NBODY_BENCH_SIMULATE_DEAD_TUNNEL"):
+        print("# probe: simulated dead tunnel", file=sys.stderr)
+        return False
+    t0 = time.time()
+    try:
+        out = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                             capture_output=True, text=True, cwd=REPO,
+                             timeout=PROBE_TIMEOUT)
+        ok = "PROBE_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    print(f"# probe: {'live' if ok else 'DEAD'} "
+          f"({time.time() - t0:.0f} s)", file=sys.stderr)
+    return ok
 
 
 def load_or_measure_baseline() -> dict:
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             return json.load(f)
-    # measure in a CPU subprocess (this process owns the TPU)
-    out = subprocess.run(
-        [sys.executable, "-m", "nbody_tpu.baseline_cpu",
-         "--cells", str(CELLS), "-b", str(BATCH), "-k", str(K)],
-        capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
-    data = json.loads(out.stdout.strip().splitlines()[-1])
-    with open(BASELINE_PATH, "w") as f:
-        json.dump(data, f, indent=2)
-    return data
+    return {}
+
+
+def baseline_pps(baseline: dict, cells: int) -> float:
+    """CPU-reference denominator for a cube size, measured on demand and
+    cached in BASELINE_MEASURED.json (key 'graph' at 32^3, 'graph{c}'
+    otherwise)."""
+    key = "graph" if cells == 32 else f"graph{cells}"
+    if key not in baseline:
+        out = subprocess.run(
+            [sys.executable, "-m", "nbody_tpu.baseline_cpu",
+             "--cells", str(cells), "-b", str(BATCH), "-k", str(K),
+             "--family", "graph"],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True,
+            timeout=1800)
+        data = json.loads(out.stdout.strip().splitlines()[-1])
+        baseline[key] = data["graph"]
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(baseline, f, indent=2)
+    return baseline[key]["particle_steps_per_sec"]
 
 
 class CoverageError(RuntimeError):
@@ -58,7 +117,10 @@ class CoverageError(RuntimeError):
     refusing to report a throughput number for a corrupted graph."""
 
 
-def measure_tpu_graph_step() -> float:
+def measure_tpu_graph_step() -> Tuple[float, List[float]]:
+    """Measure the full train step; returns (pps, sorted per-dispatch
+    step seconds).  Runs on whatever platform the process initialized —
+    the caller subprocess forces CPU for the fallback path."""
     import jax
     from nbody_tpu.config import enable_compilation_cache
     enable_compilation_cache()
@@ -120,7 +182,8 @@ def measure_tpu_graph_step() -> float:
     return BATCH * n / min(secs), sorted(secs)
 
 
-def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
+def _measure_in_subprocess(timeout_s: int, force_cpu: bool,
+                           cells: int = CELLS) -> Tuple[float, List[float]]:
     """Run the measurement isolated in a subprocess (the TPU tunnel on this
     machine occasionally hangs whole processes; a timeout + retry in the
     parent keeps the bench alive)."""
@@ -130,11 +193,11 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
             + "pps, secs = bench.measure_tpu_graph_step()\n"
             + "print('PPS', pps, json.dumps(secs))\n")
     env = dict(os.environ)
+    env["NBODY_BENCH_CELLS"] = str(cells)
     if force_cpu:
-        # one step per dispatch, no extra warmup: the honest-but-slow
-        # fallback must finish inside the timeout (validated end-to-end:
-        # ~4 steps x ~5-10 min/step on this machine)
-        env["NBODY_BENCH_ITERS"] = "1"
+        # 2 steps per dispatch, no extra warmup: the fallback must land a
+        # number in minutes (measured ~2.5 min wall at 16^3 end to end)
+        env["NBODY_BENCH_ITERS"] = "2"
         env["NBODY_BENCH_WARMUP"] = "0"
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=REPO, timeout=timeout_s, env=env)
@@ -150,26 +213,42 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool) -> float:
 
 def main():
     baseline = load_or_measure_baseline()
-    base_pps = baseline["graph"]["particle_steps_per_sec"]
 
-    metric = "train_step_throughput_shiftinv_32c_k14_b4"
+    metric = f"train_step_throughput_shiftinv_{CELLS}c_k14_b4"
     pps = secs = None
-    for attempt in range(2):
-        try:
-            pps, secs = _measure_in_subprocess(timeout_s=540, force_cpu=False)
-            break
-        except CoverageError as e:
-            print(f"# REFUSING to report: {e}", file=sys.stderr)
-            raise SystemExit(1)
-        except (subprocess.TimeoutExpired, RuntimeError) as e:
-            print(f"# TPU measurement attempt {attempt + 1} failed: "
-                  f"{type(e).__name__}", file=sys.stderr)
-            time.sleep(30)
+    cells = CELLS
+    if tunnel_alive():
+        # the probe subprocess's device teardown must finish before the
+        # measurement attaches, or the run reads as falsely hung (fact 9)
+        time.sleep(20)
+        for attempt in range(2):
+            try:
+                pps, secs = _measure_in_subprocess(
+                    timeout_s=TPU_TIMEOUT, force_cpu=False)
+                break
+            except CoverageError as e:
+                print(f"# REFUSING to report: {e}", file=sys.stderr)
+                raise SystemExit(1)
+            except (subprocess.TimeoutExpired, RuntimeError) as e:
+                print(f"# TPU measurement attempt {attempt + 1} failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                if attempt == 0:
+                    time.sleep(25)
+                    if not tunnel_alive():
+                        print("# tunnel died mid-bench; skipping the retry",
+                              file=sys.stderr)
+                        break
+                    time.sleep(20)
     if pps is None:
-        # tunnel down: report the same program on the CPU backend, honestly
-        # labeled, so the round still records a measurement
-        metric += "_CPU_FALLBACK_tpu_tunnel_down"
-        pps, secs = _measure_in_subprocess(timeout_s=3600, force_cpu=True)
+        # tunnel down: report the same program on the CPU backend at a
+        # size that finishes in minutes, honestly labeled, scored against
+        # the SAME-size CPU reference denominator
+        cells = FALLBACK_CELLS
+        metric = (f"train_step_throughput_shiftinv_{cells}c_k14_b4"
+                  f"_CPU_FALLBACK_tpu_tunnel_down")
+        pps, secs = _measure_in_subprocess(
+            timeout_s=FALLBACK_TIMEOUT, force_cpu=True, cells=cells)
+    base_pps = baseline_pps(baseline, cells)
 
     print(json.dumps({
         "metric": metric,

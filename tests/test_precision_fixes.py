@@ -192,25 +192,76 @@ def test_trainer_warns_on_coverage_violation(capsys):
     assert any("graph_coverage_violations" in r for r in t.metrics_log)
 
 
-def test_bench_refuses_on_coverage_error(monkeypatch, capsys):
-    """bench.main must exit nonzero WITHOUT printing a JSON result line
-    when the coverage guard trips."""
+def _bench_module(monkeypatch):
     import sys as _sys
     _sys.path.insert(0, "/root/repo")
     import bench
-    import pytest
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        bench, "load_or_measure_baseline",
+        lambda: {"graph": {"particle_steps_per_sec": 1.0},
+                 "graph16": {"particle_steps_per_sec": 2.0}})
+    return bench
 
-    def boom(timeout_s, force_cpu):
+
+def test_bench_refuses_on_coverage_error(monkeypatch, capsys):
+    """bench.main must exit nonzero WITHOUT printing a JSON result line
+    when the coverage guard trips."""
+    import json
+    import pytest
+    bench = _bench_module(monkeypatch)
+    monkeypatch.setattr(bench, "tunnel_alive", lambda: True)
+
+    def boom(timeout_s, force_cpu, cells=32):
         raise bench.CoverageError("COVERAGE_VIOLATIONS=7: test")
 
     monkeypatch.setattr(bench, "_measure_in_subprocess", boom)
-    monkeypatch.setattr(bench, "load_or_measure_baseline",
-                        lambda: {"graph": {"particle_steps_per_sec": 1.0}})
     with pytest.raises(SystemExit):
         bench.main()
     captured = capsys.readouterr()
     assert '"vs_baseline"' not in captured.out
     assert "REFUSING" in captured.err
+
+
+def test_bench_dead_probe_goes_straight_to_fallback(monkeypatch, capsys):
+    """VERDICT r3 #1: a dead tunnel probe must skip the TPU attempts
+    entirely and land the honestly-labeled CPU fallback number against
+    the same-size denominator."""
+    import json
+    bench = _bench_module(monkeypatch)
+    monkeypatch.setattr(bench, "tunnel_alive", lambda: False)
+    calls = []
+
+    def fake_measure(timeout_s, force_cpu, cells=32):
+        calls.append((force_cpu, cells))
+        assert force_cpu, "dead probe must not attempt a TPU measurement"
+        return 4.0, [0.5, 0.6, 0.7]
+
+    monkeypatch.setattr(bench, "_measure_in_subprocess", fake_measure)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == [(True, bench.FALLBACK_CELLS)]
+    assert "CPU_FALLBACK_tpu_tunnel_down" in rec["metric"]
+    assert rec["vs_baseline"] == 2.0          # 4.0 / graph16's 2.0
+
+
+def test_bench_live_probe_reports_tpu_number(monkeypatch, capsys):
+    """A live probe runs the full TPU measurement and scores against the
+    32^3 denominator with no fallback labeling."""
+    import json
+    bench = _bench_module(monkeypatch)
+    monkeypatch.setattr(bench, "tunnel_alive", lambda: True)
+
+    def fake_measure(timeout_s, force_cpu, cells=32):
+        assert not force_cpu and cells == 32
+        return 10.0, [0.1, 0.2, 0.3]
+
+    monkeypatch.setattr(bench, "_measure_in_subprocess", fake_measure)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "FALLBACK" not in rec["metric"]
+    assert rec["vs_baseline"] == 10.0
+    assert rec["step_secs_sorted"] == [0.1, 0.2, 0.3]
 
 
 def test_host_exact_knn_matches_device_exact():
