@@ -122,26 +122,35 @@ class Trainer:
         self.optimizer = optax.adam(cfg.train.learn_rate)
         self.state = init_train_state(self.model, self.optimizer, cfg.model.seed)
         self.ensemble = int(tcfg.ensemble or 0)
-        if self.ensemble > 1 and tcfg.data_axis * tcfg.particle_axis > 1:
-            raise ValueError("--ensemble is its own parallelism layout; "
-                             "combine it with --data_axis/--particle_axis "
-                             "is not supported")
+        if self.ensemble > 1 and tcfg.data_axis > 1:
+            raise ValueError("--ensemble occupies the \"data\" mesh axis "
+                             "(one member per shard); combine it with "
+                             "--particle_axis, not --data_axis")
         if self.ensemble > 1:
             # multi-seed ensemble: E independent members as ONE program,
             # stacked on a leading axis sharded over the "data" mesh axis
-            # (BASELINE.json config 5).  Mesh size = gcd(E, #devices) so the
-            # same CLI works on one chip (all members vmapped locally) and
-            # on a full slice (members spread over ICI).
+            # (BASELINE.json config 5).  Mesh: members get gcd(E, free
+            # devices) "data" shards so the same CLI works on one chip
+            # (all members vmapped locally) and on a full slice; with
+            # --particle_axis the cube's N axis is sharded over "particle"
+            # IN ADDITION — members x particles, the config-5 extension to
+            # large cubes (VERDICT r3 weak #6).
             import math
             from nbody_tpu.parallel.mesh import make_mesh
             from nbody_tpu.parallel import ensemble as E
+            sp = max(1, tcfg.particle_axis)
+            if self.dataset.num_particles % sp:
+                raise ValueError(
+                    f"num_particles={self.dataset.num_particles} must divide "
+                    f"by particle_axis={sp}")
             ndev = len(jax.devices())
-            self.mesh = make_mesh(data=math.gcd(self.ensemble, ndev))
+            self.mesh = make_mesh(
+                data=math.gcd(self.ensemble, max(1, ndev // sp)),
+                particle=sp)
             seeds = [cfg.model.seed + i for i in range(self.ensemble)]
             self.state = E.init_ensemble_state(self.model, self.optimizer,
                                                seeds)
-            self.batch_sharding = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec())
+            self.batch_sharding = E.batch_sharding(self.mesh)
             self.train_step = E.make_ensemble_train_step(
                 self.model, self.optimizer, self.mesh)
             self.eval_step = E.make_ensemble_eval_step(self.model, self.mesh)
@@ -214,8 +223,13 @@ class Trainer:
             return
         cv = int(jax.device_get(self._cov_fn(x_in)))
         rec["coverage_margin_violations"] = cv
-        if cv and not self._cov_confirmed:
-            self._cov_confirmed = True     # exact check once, not per ckpt
+        if cv == 0:
+            # margins recovered: re-arm so a later, distinct violation
+            # episode gets its own exact count instead of margins-only
+            # logging forever after the first trip (VERDICT r3 weak #7)
+            self._cov_confirmed = False
+        elif not self._cov_confirmed:
+            self._cov_confirmed = True     # one exact check per episode
             exact = self.check_graph_coverage(x_in)
             rec["graph_coverage_violations"] = int(exact)
             if exact:
@@ -260,12 +274,13 @@ class Trainer:
     def _log_effective_impl(self):
         """Record what neighbor implementation the model trace actually
         chose (the masked->block HBM-cap fallback is otherwise only a
-        filterable warning; ADVICE r2) in the run's metrics artifacts."""
-        from nbody_tpu.models import registry
-        if registry.EFFECTIVE_NEIGHBOR_IMPL:
-            rec = {"effective_neighbor_impl": dict(
-                registry.EFFECTIVE_NEIGHBOR_IMPL)}
-            if registry.EFFECTIVE_NEIGHBOR_IMPL.get("fallback"):
+        filterable warning; ADVICE r2) in the run's metrics artifacts.
+        The record is per-build (Model.impl_record), so concurrent models
+        in one process cannot alias each other's entries (ADVICE r3)."""
+        rec_src = self.model.impl_record
+        if rec_src:
+            rec = {"effective_neighbor_impl": dict(rec_src)}
+            if rec_src.get("fallback"):
                 print("NOTE: neighbor_impl='masked' fell back to the Pallas "
                       "block kernels (mask HBM cap)", flush=True)
             self._log(rec)
