@@ -78,9 +78,13 @@ def main(argv=None) -> int:
     # step, so the lattice window is monitored INSIDE the jitted rollout
     # (same guard class as Trainer._make_coverage_margin_fn)
     cov_fn = None
+    cells = cfg.data.cells_per_side
+    # num_particles == cells^3 guard mirrors Trainer._make_coverage_margin_fn
+    # (ADVICE r3): on non-cube counts the model isn't using the lattice
+    # search, and lattice_violations' site reshape would raise.
     if cfg.model.family not in ("set", "attn") \
-            and cfg.model.knn_method == "lattice":
-        cells = cfg.data.cells_per_side
+            and cfg.model.knn_method == "lattice" \
+            and int(np.prod(raws[0].shape[1:4])) == cells ** 3:
         box = 4.0 * cells
         from nbody_tpu.ops.knn import lattice_violations
 

@@ -26,6 +26,10 @@ class Model(NamedTuple):
     family: str
     # eval-mode forward (deterministic, batch-independent); defaults to apply
     apply_eval: Callable = None
+    # per-build record of what neighbor impl the trace actually chose
+    # (filled in at first trace by _make_masks; ADVICE r3: per-build, not
+    # a process global, so concurrent models can't alias entries)
+    impl_record: dict = None
 
     @property
     def eval_fn(self):
@@ -193,13 +197,8 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
 # the activations need the rest)
 MASKED_BYTES_CAP = 8 * 1024 ** 3
 
-# What _make_masks actually chose at the last model trace — run metadata so
-# a silent fallback (masked -> Pallas block) is visible in artifacts, not
-# just a filterable warning (ADVICE r2).  Keyed by trace-time facts only.
-EFFECTIVE_NEIGHBOR_IMPL: dict = {}
 
-
-def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
+def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
     """Precomputed shared one-hot masks (neighbor_impl='masked'): one
     (B, NB, ET, P) array per step, consumed by every neighbor op fwd+bwd
     (ops/blocked.block_masks; PERF.md shared-mask formulation).
@@ -231,14 +230,13 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype):
                * jnp.dtype(mask_dt).itemsize)
         if est <= MASKED_BYTES_CAP:
             lat3 = (lat[0], lat[1], core, True)
-            EFFECTIVE_NEIGHBOR_IMPL.update(
+            record.update(
                 impl="masked", core=list(core), mask_bytes=int(est),
                 fallback=False)
             return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
                                core=core, drop_self_slot0=True), lat3
     import warnings
-    EFFECTIVE_NEIGHBOR_IMPL.update(
-        impl="block", core=None, mask_bytes=None, fallback=True)
+    record.update(impl="block", core=None, mask_bytes=None, fallback=True)
     warnings.warn(
         "neighbor_impl='masked': no candidate core fits the mask HBM cap "
         f"({MASKED_BYTES_CAP / 2**30:.1f} GiB) at this problem size; "
@@ -260,7 +258,8 @@ def _mixed_precision(model: Model, dtype) -> Model:
         return wrapped
 
     return Model(model.init, cast(model.apply), model.family,
-                 cast(model.apply_eval) if model.apply_eval is not None else None)
+                 cast(model.apply_eval) if model.apply_eval is not None else None,
+                 model.impl_record)
 
 
 def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE,
@@ -276,6 +275,7 @@ def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE,
 def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                        mesh=None) -> Model:
     channels = list(cfg.channels)
+    record: dict = {}   # filled at first trace by _make_masks
 
     if cfg.family == "set":
         from nbody_tpu.models import set_net
@@ -288,7 +288,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
         def apply(params, x_in):
             return set_net.set_network(params, x_in.astype(dtype))
 
-        return Model(init, apply, "set")
+        return Model(init, apply, "set", impl_record=record)
 
     if cfg.family == "shiftinv_vel":
         from nbody_tpu.models import shiftinv
@@ -312,14 +312,14 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice if (lattice and n == cells ** 3) else None
-            masks, lat = _make_masks(cfg, lat, idx, dtype)
+            masks, lat = _make_masks(cfg, lat, idx, dtype, record)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
                 vel.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),
                 remat=cfg.remat, lattice=lat, masks=masks)
 
-        return Model(init, apply, "shiftinv_vel")
+        return Model(init, apply, "shiftinv_vel", impl_record=record)
 
     if cfg.family in ("shiftinv", "shiftinv15"):
         if channels[0] != 3:
@@ -345,13 +345,13 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                 idx = knn(pos)
                 n = x_in.shape[-2]
                 lat = lattice if (lattice and n == cells ** 3) else None
-                masks, lat = _make_masks(cfg, lat, idx, dtype)
+                masks, lat = _make_masks(cfg, lat, idx, dtype, record)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=_effective_band(cfg, band, n, cells),
                     remat=cfg.remat, lattice=lat, masks=masks)
 
-            return Model(init, apply, "shiftinv")
+            return Model(init, apply, "shiftinv", impl_record=record)
 
         from nbody_tpu.models import shiftinv15
 
@@ -369,13 +369,13 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice15 if (lattice15 and n == cells ** 3) else None
-            masks, lat = _make_masks(cfg, lat, idx, dtype)
+            masks, lat = _make_masks(cfg, lat, idx, dtype, record)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),
                 remat=cfg.remat, lattice=lat, masks=masks)
 
-        return Model(init, apply, "shiftinv15")
+        return Model(init, apply, "shiftinv15", impl_record=record)
 
     if cfg.family == "attn":
         from nbody_tpu.models import attn
@@ -394,6 +394,6 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                                      batch_coupled_gate=cfg.batch_coupled_gate,
                                      train_mode=False)
 
-        return Model(init, apply, "attn", apply_eval)
+        return Model(init, apply, "attn", apply_eval, record)
 
     raise ValueError(f"unknown model family: {cfg.family!r}")

@@ -335,10 +335,14 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
         core=core, self_slot0=sf)                       # cube (b, N, 2C)
     sum_a = to_cube(jnp.sum(hB[:, 0], axis=3))          # (b, N, C)
     sum_bm = to_cube(jnp.sum(hbm, axis=3))
-    h_r = (s2[..., :c_in] + sum_bm) / deg[..., None]
-    h_c = (sum_a + s2[..., c_in:]) / deg[..., None]
+    # pool divisions run against f32 deg/live (ADVICE r3: bf16 deg would
+    # introduce a systematic divergence vs the cube path's f32 graph.deg);
+    # results cast back to the edge dtype so the block path stays bf16
+    h_r = ((s2[..., :c_in] + sum_bm) / deg[..., None]).astype(dt)
+    h_c = ((sum_a + s2[..., c_in:]) / deg[..., None]).astype(dt)
     h_d = to_cube(hB[:, 0, :, :, 0, :])                 # diagonal (b, N, C)
-    h_a = (jnp.sum(sum_a, axis=1) + jnp.sum(sum_bm, axis=1)) / live[:, None]
+    h_a = ((jnp.sum(sum_a, axis=1) + jnp.sum(sum_bm, axis=1))
+           / live[:, None]).astype(dt)
     h_p = jnp.mean(h_d, axis=1)                         # (b, C)
 
     out = mm(hB, w[0])                                  # 1 identity
@@ -383,7 +387,8 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
         # row pool: block A free-sums + block B masked scatter -> (b, N, q)
         s = masked_scatter_add_blocks(out[:, 1] * mbB[..., None], masks,
                                       cl, win, core=core, self_slot0=sf)
-        return (to_cube(jnp.sum(out[:, 0], axis=3)) + s) / deg[..., None]
+        return ((to_cube(jnp.sum(out[:, 0], axis=3)) + s)
+                / deg[..., None]).astype(dt)
     return out
 
 
@@ -404,7 +409,8 @@ def _shiftinv15_network_blocks(params, edges: jnp.ndarray,
             bsz, n, k * k), cl, core).reshape(bsz, nb, r, k, k)
     mbB = cube_to_blocks(graph.mask_b.astype(edges.dtype)[..., None]
                          .reshape(bsz, n, k), cl, core)
-    deg = graph.deg.astype(edges.dtype)
+    # f32 regardless of compute dtype — see the pool divisions in the layer
+    deg = graph.deg.astype(jnp.float32)
     live = jnp.sum(deg, axis=-1)
     num_layers = len(params)
     for i, layer_params in enumerate(params):

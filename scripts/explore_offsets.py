@@ -107,9 +107,11 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
-    def make_masks(mask_dtype):
-        """Built from idx INSIDE jit (stop_gradient, loop-invariant)."""
-        p = blocked.edge_block_positions(idx, cells, w, core)
+    def make_masks(idx_arg, mask_dtype):
+        """Built from the idx ARGUMENT inside jit (stop_gradient,
+        loop-invariant) — per the script's own pass-every-large-operand-
+        as-a-jit-argument methodology (ADVICE r3)."""
+        p = blocked.edge_block_positions(idx_arg, cells, w, core)
         lane = jnp.arange(ext[0] * ext[1] * ext[2], dtype=jnp.int32)
         eq = p[..., None] == lane
         dt = {"bf16": jnp.bfloat16, "int8": jnp.int8,
@@ -123,7 +125,7 @@ def main():
         # ------- shared-mask einsum baselines (current default) -------
         for tag in ("bf16", "int8", "fp8"):
             def mk(_idx, _tag=tag):
-                return (make_masks(_tag),)
+                return (make_masks(_idx, _tag),)
 
             def g(vv, masks, _tag=tag):
                 patches = blocked.block_patches(vv, cells, w, core)

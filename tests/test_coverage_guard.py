@@ -50,3 +50,34 @@ def test_guard_quiet_on_healthy_run():
     cov = [r for r in t.metrics_log if "coverage_margin_violations" in r]
     assert cov and all(r["coverage_margin_violations"] == 0 for r in cov)
     assert not any("graph_coverage_violations" in r for r in t.metrics_log)
+
+
+def test_guard_rearms_after_recovery():
+    """A second, later violation episode gets its own exact count: the
+    confirmation latch re-arms when margins return to zero (VERDICT r3
+    weak #7)."""
+    cfg = _cfg()
+    cfg = C.Config(data=cfg.data, model=cfg.model,
+                   train=C.TrainConfig(num_iters=8, batch_size=2,
+                                       checkpoint_every=2))
+    t = Trainer(cfg)
+    orig = t.dataset.get_minibatch
+    calls = {"n": 0}
+
+    def episodic(key, bsize):
+        batch = np.asarray(orig(key, bsize)).copy()
+        calls["n"] += 1
+        # checkpoints monitor calls 2/4/6/8: healthy, TRIP, healthy, TRIP
+        if calls["n"] in (3, 4, 7, 8):
+            batch[..., 3:6] *= 25.0
+        return batch
+
+    t.dataset.get_minibatch = episodic
+    t.fit(verbose=False)
+    ckpts = [r for r in t.metrics_log if "coverage_margin_violations" in r]
+    assert [c["coverage_margin_violations"] > 0 for c in ckpts] == \
+        [False, True, False, True]
+    confirmed = [c for c in ckpts if "graph_coverage_violations" in c]
+    assert len(confirmed) == 2, \
+        "each violation episode must get its own exact confirmation"
+    assert all(c["graph_coverage_violations"] > 0 for c in confirmed)
