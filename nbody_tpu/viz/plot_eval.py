@@ -64,6 +64,47 @@ def l2_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.sqrt(np.sum(np.square(a - b), axis=-1))
 
 
+def angle(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """Per-row angle between vector fields, in degrees (reference angle(),
+    plot_eval.py:78-81) — e.g. the angular error between predicted and true
+    displacement vectors.  v1, v2 (..., 3) -> (...,).
+
+    Deviation from the reference: the cosine is clipped to [-1, 1] before
+    arccos (f32 roundoff on parallel vectors otherwise yields NaN) and
+    zero-length rows divide against eps instead of warning."""
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    norms = np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1)
+    cos = np.sum(v1 * v2, axis=-1) / np.maximum(norms, 1e-30)
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+def plot_angle_hist(truth_disp: np.ndarray, pred_disp: np.ndarray,
+                    bins: int = 90, title: str = "",
+                    save_path: Optional[str] = None):
+    """Histogram of angular errors between predicted and true displacement
+    vectors — the eval view the reference's angle() helper existed for
+    (plot_eval.py:78-81; it had no caller there, completing C21)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ang = angle(truth_disp, pred_disp).reshape(-1)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.hist(ang, bins=np.linspace(0.0, 180.0, bins + 1), alpha=0.5,
+            color=MODEL_COLORS[0],
+            label=series_label(ang, "angular error (deg)"))
+    ax.axvline(float(np.median(ang)), color=MODEL_COLORS[0],
+               linestyle="--", linewidth=1)
+    ax.legend(prop={"family": "monospace", "size": 9})
+    ax.grid(True, alpha=0.5, ls="--")
+    ax.set_xlabel("Angle (degrees)")
+    ax.set_ylabel("count")
+    ax.set_title(title)
+    if save_path:
+        save_plot(fig, save_path)
+    return fig
+
+
 # Series styling (reference plot_eval.py:99-105): red baseline, blue/green
 # 'Updated'/'Previous' model series, alpha 0.5
 LINEAR_VEL_LABEL = "linear vel"

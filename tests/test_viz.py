@@ -7,7 +7,8 @@ matplotlib = pytest.importorskip("matplotlib")
 
 from nbody_tpu.viz.plot_eval import (
     get_mask, calculate_timestep, get_linear_vel_pred, l2_dist,
-    plot_model_vs_linear, plot_multi_model, plot_results_dir)
+    plot_model_vs_linear, plot_multi_model, plot_results_dir, angle,
+    plot_angle_hist)
 from nbody_tpu.viz.vis_pointcloud import volumize_ptc, volumize_arrow
 
 
@@ -158,3 +159,24 @@ def test_plot_masks_by_input_not_truth(tmp_path):
     np.testing.assert_array_equal(calls["arg"], x_input[..., :3])
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_angle_known_vectors():
+    # 0, 90, 180 degrees plus a parallel f32-roundoff row (no NaN)
+    v1 = np.array([[1, 0, 0], [1, 0, 0], [1, 0, 0], [0.1, 0.2, 0.3]],
+                  np.float32)
+    v2 = np.array([[2, 0, 0], [0, 3, 0], [-1, 0, 0], [0.1, 0.2, 0.3]],
+                  np.float32)
+    a = angle(v1, v2)
+    np.testing.assert_allclose(a[:3], [0.0, 90.0, 180.0], atol=1e-4)
+    assert np.isfinite(a).all()
+    # batch shape passes through: (S, N, 3) -> (S, N)
+    truth, pred, _ = _cubes()
+    assert angle(truth, pred).shape == truth.shape[:2]
+
+
+def test_plot_angle_hist(tmp_path):
+    truth, pred, _ = _cubes()
+    p = str(tmp_path / "angles.png")
+    plot_angle_hist(truth, pred, title="angular error", save_path=p)
+    assert os.path.getsize(p) > 0
