@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-4 chip measurement queue (VERDICT r3 items 2, 3, 5, 6): the
+# family matrix + headline measurements that round 3 could not take
+# (tunnel relay outage).  Run ONLY after a successful tunnel probe
+# (scripts/profile_ops.probe_tunnel or a 90 s tiny-jit probe).
+#
+# Discipline (CLAUDE.md platform facts 6/9): every run is timeout-bounded,
+# runs are separated by 30 s teardown gaps (two processes cannot share the
+# chip; a probe during teardown reads as a false hang), and a failed run
+# does not stop the queue.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/round4_queue.jsonl}
+: > "$OUT"
+
+run() {
+  local tag=$1 t=$2; shift 2
+  echo "### $tag $(date -u +%FT%TZ)" >> "$OUT"
+  timeout "$t" "$@" 2>>"$OUT.err" | tail -1 >> "$OUT"
+  echo "### rc=$? $tag" >> "$OUT"
+  sleep 30
+}
+
+B="python scripts/bench_step.py --platform default"
+
+# 1. headline re-measure: post-self-slot-drop masked step (predicted
+#    ~172 ms / >=760k pps at 32^3 b4 K14; PERF.md round-3 traffic model)
+run headline_shiftinv 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan 10
+# 2. the rebuilt 2-mask-pass shiftinv15 (VERDICT #2: predicted a few
+#    hundred ms vs the old 2.30 s; denominator graph15=517.9 pps)
+run shiftinv15 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --scan 5
+# 3. family matrix (VERDICT #3): set, attn, shiftinv_vel, 64^3
+run shiftinv_vel 700 $B --family shiftinv_vel --cells 32 -b 4 --impl masked --scan 10
+run set 600 $B --family set --cells 32 -b 4 --scan 10
+run attn 600 $B --family attn --cells 32 -b 4 --scan 10
+run shiftinv_64 900 $B --family shiftinv --cells 64 -b 1 --impl masked --remat --scan 3
+# 4. isolate the network from the kNN rebuild for the efficiency ledger
+run headline_noknn 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan 10 --no-knn
+# 5. step decomposition for the efficiency plan (VERDICT #5): mask-pass
+#    chain vs matmul twin vs full step
+run profile_decomp 1500 python scripts/profile_step4.py --platform default
+# 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
+#    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
+#    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain
+#    coverage counts and saves the trajectory cube
+run rollout_32 2400 python -m nbody_tpu.cli.rollout --steps 4 -i 150 -b 4 \
+    --cells 32 --synthetic -k 14 -t 4 -n r4chain
+# 7. official headline
+run bench_py 1500 python bench.py
+
+echo "QUEUE_DONE $(date -u +%FT%TZ)" >> "$OUT"
