@@ -147,6 +147,13 @@ class ModelConfig:
     # swept-optimal); the registry still steps down the candidate list if
     # the mask array would exceed its HBM cap
     masked_core: Optional[Tuple[int, int, int]] = None
+    # masked-path mask storage dtype: "auto" follows the compute dtype
+    # (bf16/f32 one XLA einsum per op); "int8" halves the mask HBM bytes —
+    # the step's dominant traffic — by routing every neighbor op through
+    # the Pallas mask-dot kernels (int8 tile converted to bf16 in VMEM;
+    # ops/pallas/mask_kernels.py).  int8 dots run bf16 on the MXU, so
+    # exact-f32 mode should keep "auto".
+    mask_dtype: str = "auto"
 
     @property
     def num_layers(self) -> int:
@@ -226,6 +233,9 @@ def build_parser() -> argparse.ArgumentParser:
              "amortizes host latency on tunneled TPUs")
     adg("--masked_core", type=int, nargs=3, default=None, metavar="D",
         help="Masked-path core block shape (3 ints); default = swept optimum")
+    adg("--mask_dtype", type=str, default="auto", choices=["auto", "int8"],
+        help="Mask storage dtype: int8 = Pallas mask-dot path (half the "
+             "mask HBM traffic, bf16 MXU dots)")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")
@@ -287,7 +297,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         channels=tuple(args.channels),
         k_neighbors=(args.kneighbors if args.kneighbors > 0 else NUM_NEIGHBORS),
         seed=args.seed,
-        masked_core=(tuple(args.masked_core) if args.masked_core else None))
+        masked_core=(tuple(args.masked_core) if args.masked_core else None),
+        mask_dtype=args.mask_dtype)
     train = TrainConfig(
         num_iters=args.num_iters,
         batch_size=args.batch_size,

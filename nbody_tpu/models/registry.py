@@ -214,7 +214,13 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
         return None, lat
     from nbody_tpu.ops.blocked import (MASKED_CORE, block_geometry,
                                        block_masks)
-    mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    if getattr(cfg, "mask_dtype", "auto") == "int8":
+        # int8 masks route every neighbor op through the Pallas mask-dot
+        # kernels (ops/pallas/mask_kernels.py): half the mask HBM bytes —
+        # the step's dominant traffic — converted to bf16 in VMEM
+        mask_dt = jnp.int8
+    else:
+        mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape
     candidates = [MASKED_CORE, (4, 4, 8), (2, 4, 8), (2, 2, 4), (2, 2, 2)]
     if getattr(cfg, "masked_core", None):
@@ -232,7 +238,7 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
             lat3 = (lat[0], lat[1], core, True)
             record.update(
                 impl="masked", core=list(core), mask_bytes=int(est),
-                fallback=False)
+                mask_dtype=jnp.dtype(mask_dt).name, fallback=False)
             return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
                                core=core, drop_self_slot0=True), lat3
     import warnings

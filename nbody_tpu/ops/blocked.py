@@ -265,6 +265,29 @@ def block_masks(idx: jnp.ndarray, cells: int, window: int,
     return jax.lax.stop_gradient((p[..., None] == lane).astype(dtype))
 
 
+def _mask_contract_gather(masks: jnp.ndarray, patches: jnp.ndarray):
+    """(B, NB, ET, P) one-hot x (B, NB, P, C) -> (B, NB, ET, C) f32.
+
+    bf16/f32 masks: one XLA batched einsum (the swept-optimal path).
+    int8 masks: the Pallas mask-dot kernel — converts the mask tile to
+    bf16 in VMEM, halving the dominant per-pass HBM traffic (XLA cannot:
+    its convert materializes a bf16 copy; PERF.md round-3 table)."""
+    if masks.dtype == jnp.int8:
+        from nbody_tpu.ops.pallas.mask_kernels import mask_dot_gather
+        return mask_dot_gather(masks, patches)
+    return jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _mask_contract_scatter(masks: jnp.ndarray, edges: jnp.ndarray):
+    """Transposed twin: (B, NB, ET, P) x (B, NB, ET, C) -> (B, NB, P, C)."""
+    if masks.dtype == jnp.int8:
+        from nbody_tpu.ops.pallas.mask_kernels import mask_dot_scatter
+        return mask_dot_scatter(masks, edges)
+    return jnp.einsum("bnep,bnec->bnpc", masks, edges.astype(masks.dtype),
+                      preferred_element_type=jnp.float32)
+
+
 def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
                   window: int, core=None,
                   self_slot0: bool = False) -> jnp.ndarray:
@@ -279,8 +302,7 @@ def masked_gather(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
     r = bx * by * bz
     k = masks.shape[2] // r
     patches = block_patches(values, cells, window, core)  # (B, NB, P, C)
-    out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
-                     preferred_element_type=jnp.float32)
+    out = _mask_contract_gather(masks, patches)
     out = out.reshape(b, -1, r, k * c)
     out = blocks_to_cube(out, cells, core).reshape(b, n, k, c).astype(
         values.dtype)
@@ -306,8 +328,7 @@ def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
     bx, by, bz = core
     v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells, core)
     v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
-    acc = jnp.einsum("bnep,bnec->bnpc", masks, v_blocks.astype(masks.dtype),
-                     preferred_element_type=jnp.float32)
+    acc = _mask_contract_scatter(masks, v_blocks)
     out = patches_fold(acc, cells, window, core).astype(vals.dtype)
     if self_part is not None:
         out = out + self_part
@@ -328,8 +349,7 @@ def masked_gather_blocks(values: jnp.ndarray, masks: jnp.ndarray, cells: int,
     r = bx * by * bz
     k = masks.shape[2] // r
     patches = block_patches(values, cells, window, core)  # (B, NB, P, C)
-    out = jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
-                     preferred_element_type=jnp.float32)
+    out = _mask_contract_gather(masks, patches)
     out = out.reshape(b, -1, r, k, c).astype(values.dtype)
     if self_slot0:
         selfv = cube_to_blocks(values, cells, core)       # (B, NB, R, C)
@@ -348,8 +368,7 @@ def masked_scatter_add_blocks(vals: jnp.ndarray, masks: jnp.ndarray,
     b, nb, r, k, c = vals.shape
     core = core or MASKED_CORE
     v = vals.reshape(b, nb, r * k, c)
-    acc = jnp.einsum("bnep,bnec->bnpc", masks, v.astype(masks.dtype),
-                     preferred_element_type=jnp.float32)
+    acc = _mask_contract_scatter(masks, v)
     out = patches_fold(acc, cells, window, core).astype(vals.dtype)
     if self_part is not None:
         out = out + blocks_to_cube(self_part, cells, core)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--core", type=int, nargs=3, default=None)
+    ap.add_argument("--mask_dtype", default="auto", choices=["auto", "int8"],
+                    help="int8 = Pallas mask-dot path (half mask HBM bytes)")
+    ap.add_argument("--group", type=int, default=None,
+                    help="mask-dot kernel: blocks per grid step")
     ap.add_argument("--no-knn", action="store_true",
                     help="bake a precomputed idx into the step (isolates "
                          "the network cost from the kNN rebuild)")
@@ -87,7 +91,10 @@ def main():
     cfg = C.ModelConfig(family=args.family, channels=channels,
                         k_neighbors=args.k, dtype=args.dtype,
                         knn_window=args.window, neighbor_impl=args.impl,
-                        remat=args.remat)
+                        remat=args.remat, mask_dtype=args.mask_dtype)
+    if args.group:
+        from nbody_tpu.ops.pallas import mask_kernels
+        mask_kernels.set_group(args.group)
 
     v = coverage_violations(cfg, box, x[..., :6])
     if v:
@@ -115,7 +122,7 @@ def main():
         def apply_fixed(params, x_in):
             pos, za = _graph_geometry(x_in, box)
             idx = jnp.asarray(idx_const)
-            masks, lat = _make_masks(cfg, lattice, idx, dt)
+            masks, lat = _make_masks(cfg, lattice, idx, dt, {})
             return shiftinv.shiftinv_model(
                 params, pos.astype(dt), za.astype(dt),
                 idx, box, band=band,
@@ -168,6 +175,7 @@ def main():
         "family": args.family, "cells": cells, "batch": b, "k": args.k,
         "window": args.window, "impl": args.impl, "remat": args.remat,
         "dtype": args.dtype, "core": args.core, "no_knn": args.no_knn,
+        "mask_dtype": args.mask_dtype, "group": args.group,
         "scan": args.scan,
         "step_ms": round(sec * 1e3, 1),
         "pps": round(b * n / sec, 1),

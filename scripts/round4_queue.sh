@@ -39,6 +39,13 @@ run headline_noknn 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan
 # 5. step decomposition for the efficiency plan (VERDICT #5): mask-pass
 #    chain vs matmul twin vs full step
 run profile_decomp 1500 python scripts/profile_step4.py --platform default
+# 5b. the targeted fix: int8 masks via the Pallas mask-dot kernels (half
+#     the mask HBM bytes, the step's dominant traffic).  Sweep the
+#     blocks-per-grid-step grouping — per-step fixed cost vs VMEM.
+run headline_i8_g2 900 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int8 --scan 10
+run headline_i8_g1 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int8 --group 1 --scan 10
+run headline_i8_g4 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int8 --group 4 --scan 10
+run shiftinv15_i8 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mask_dtype int8 --scan 5
 # 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
 #    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
 #    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain

@@ -316,3 +316,85 @@ def test_masked_ops_exact_across_core_shapes():
                                           core=core))
         np.testing.assert_allclose(g, ref_g, atol=1e-6, err_msg=str(core))
         np.testing.assert_allclose(s, ref_s, atol=1e-5, err_msg=str(core))
+
+
+def test_masked_int8_ops_match_indexing():
+    """int8 masks route through the Pallas mask-dot kernels
+    (ops/pallas/mask_kernels.py, interpret-mode on CPU): gather == direct
+    indexing and scatter == np.add.at for bf16-representable values (the
+    kernel's dot is one-hot bf16 x bf16 with f32 accumulation, so
+    bf16-exact inputs pass through exactly)."""
+    from nbody_tpu.ops.blocked import (block_masks, masked_gather,
+                                       masked_scatter_add)
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import (features_from_raw, split_batch,
+                                        positions_from_inputs)
+
+    cells, W, K2, C2, B2 = 8, 2, 6, 5, 2
+    n = cells ** 3
+    rng = np.random.default_rng(3)
+    raw = synthetic_raw_cubes(num_samples=B2, cells=cells, seed=7)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=4.0 * cells))
+    idx = knn_periodic_lattice_batch(pos, K2, cells=cells, window=W)
+    # bf16-representable inputs -> the int8 path must be EXACT
+    v = jnp.asarray(rng.normal(size=(B2, n, C2)).astype(np.float32)
+                    ).astype(jnp.bfloat16).astype(jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(B2, n, K2, C2)).astype(np.float32)
+                       ).astype(jnp.bfloat16).astype(jnp.float32)
+
+    masks = block_masks(idx, cells, W, dtype=jnp.int8)
+    assert masks.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(jnp.sum(masks, axis=-1)), 1)
+
+    g = np.asarray(masked_gather(v, masks, cells, W))
+    i_np = np.asarray(idx)
+    for b in range(B2):
+        np.testing.assert_array_equal(g[b], np.asarray(v)[b][i_np[b]])
+
+    s = np.asarray(masked_scatter_add(vals, masks, cells, W))
+    for b in range(B2):
+        ref = np.zeros((n, C2), np.float32)
+        np.add.at(ref, i_np[b].reshape(-1),
+                  np.asarray(vals)[b].reshape(-1, C2))
+        np.testing.assert_allclose(s[b], ref, atol=1e-5)
+
+    # custom-VJP pair: d(sum gather)/d(values)[j] == in-degree of j (the
+    # backward rides the transposed Pallas kernel against the SAME int8
+    # masks; the masks' own cotangent is float0 — zero-size)
+    grad = jax.grad(lambda vv: jnp.sum(masked_gather(vv, masks, cells, W)))(v)
+    deg = np.zeros((B2, n), np.float32)
+    for b in range(B2):
+        np.add.at(deg[b], i_np[b].reshape(-1), 1.0)
+    np.testing.assert_allclose(np.asarray(grad)[..., 0], deg, atol=1e-4)
+    # and d(sum scatter)/d(vals) == 1 everywhere (every edge lands once)
+    grad_s = jax.grad(lambda ee: jnp.sum(
+        masked_scatter_add(ee, masks, cells, W)))(vals)
+    np.testing.assert_allclose(np.asarray(grad_s), 1.0, atol=1e-5)
+
+
+def test_masked_int8_model_matches_bf16_masks():
+    """shiftinv with mask_dtype='int8' (Pallas mask-dot path, bf16 compute)
+    tracks mask_dtype='auto' (bf16 einsum masks) within bf16 rounding —
+    same model, same masks content, only the mask storage/contract route
+    differs."""
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=5)
+    x_in, _ = split_batch(features_from_raw(raw))
+    x_in = jnp.asarray(x_in)
+    outs = {}
+    for mdt in ("auto", "int8"):
+        cfg = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
+                            k_neighbors=6, knn_window=2, dtype="bfloat16",
+                            neighbor_impl="masked", mask_dtype=mdt)
+        model = build_model(cfg, box=4.0 * cells)
+        params = model.init(jax.random.PRNGKey(0))
+        outs[mdt] = np.asarray(jax.jit(model.apply)(params, x_in))
+    np.testing.assert_allclose(outs["int8"], outs["auto"],
+                               rtol=5e-2, atol=5e-3)
