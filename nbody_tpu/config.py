@@ -148,11 +148,12 @@ class ModelConfig:
     # the mask array would exceed its HBM cap
     masked_core: Optional[Tuple[int, int, int]] = None
     # masked-path mask storage dtype: "auto" follows the compute dtype
-    # (bf16/f32 one XLA einsum per op); "int8" halves the mask HBM bytes —
-    # the step's dominant traffic — by routing every neighbor op through
-    # the Pallas mask-dot kernels (int8 tile converted to bf16 in VMEM;
-    # ops/pallas/mask_kernels.py).  int8 dots run bf16 on the MXU, so
-    # exact-f32 mode should keep "auto".
+    # (bf16/f32 one XLA einsum per op); "int8"/"int4" cut the mask HBM
+    # bytes — the step's dominant traffic — 2x/4x by routing every
+    # neighbor op through the Pallas mask-dot kernels (integer tile
+    # converted to bf16 in VMEM; ops/pallas/mask_kernels.py).  The
+    # kernel dots run bf16 on the MXU, so exact-f32 mode should keep
+    # "auto".
     mask_dtype: str = "auto"
 
     @property
@@ -233,9 +234,10 @@ def build_parser() -> argparse.ArgumentParser:
              "amortizes host latency on tunneled TPUs")
     adg("--masked_core", type=int, nargs=3, default=None, metavar="D",
         help="Masked-path core block shape (3 ints); default = swept optimum")
-    adg("--mask_dtype", type=str, default="auto", choices=["auto", "int8"],
-        help="Mask storage dtype: int8 = Pallas mask-dot path (half the "
-             "mask HBM traffic, bf16 MXU dots)")
+    adg("--mask_dtype", type=str, default="auto",
+        choices=["auto", "int8", "int4"],
+        help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
+             "less mask HBM traffic, bf16 MXU dots)")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")

@@ -214,11 +214,13 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
         return None, lat
     from nbody_tpu.ops.blocked import (MASKED_CORE, block_geometry,
                                        block_masks)
-    if getattr(cfg, "mask_dtype", "auto") == "int8":
-        # int8 masks route every neighbor op through the Pallas mask-dot
-        # kernels (ops/pallas/mask_kernels.py): half the mask HBM bytes —
-        # the step's dominant traffic — converted to bf16 in VMEM
-        mask_dt = jnp.int8
+    req = getattr(cfg, "mask_dtype", "auto")
+    if req in ("int8", "int4"):
+        # integer masks route every neighbor op through the Pallas
+        # mask-dot kernels (ops/pallas/mask_kernels.py): 2x/4x less mask
+        # HBM bytes — the step's dominant traffic — converted to bf16 in
+        # VMEM, which XLA cannot do without materializing a bf16 copy
+        mask_dt = jnp.int8 if req == "int8" else jnp.int4
     else:
         mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape

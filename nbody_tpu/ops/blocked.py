@@ -272,7 +272,7 @@ def _mask_contract_gather(masks: jnp.ndarray, patches: jnp.ndarray):
     int8 masks: the Pallas mask-dot kernel — converts the mask tile to
     bf16 in VMEM, halving the dominant per-pass HBM traffic (XLA cannot:
     its convert materializes a bf16 copy; PERF.md round-3 table)."""
-    if masks.dtype == jnp.int8:
+    if masks.dtype in (jnp.int8, jnp.int4):
         from nbody_tpu.ops.pallas.mask_kernels import mask_dot_gather
         return mask_dot_gather(masks, patches)
     return jnp.einsum("bnep,bnpc->bnec", masks, patches.astype(masks.dtype),
@@ -281,7 +281,7 @@ def _mask_contract_gather(masks: jnp.ndarray, patches: jnp.ndarray):
 
 def _mask_contract_scatter(masks: jnp.ndarray, edges: jnp.ndarray):
     """Transposed twin: (B, NB, ET, P) x (B, NB, ET, C) -> (B, NB, P, C)."""
-    if masks.dtype == jnp.int8:
+    if masks.dtype in (jnp.int8, jnp.int4):
         from nbody_tpu.ops.pallas.mask_kernels import mask_dot_scatter
         return mask_dot_scatter(masks, edges)
     return jnp.einsum("bnep,bnec->bnpc", masks, edges.astype(masks.dtype),

@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--core", type=int, nargs=3, default=None)
-    ap.add_argument("--mask_dtype", default="auto", choices=["auto", "int8"],
+    ap.add_argument("--mask_dtype", default="auto", choices=["auto", "int8", "int4"],
                     help="int8 = Pallas mask-dot path (half mask HBM bytes)")
     ap.add_argument("--group", type=int, default=None,
                     help="mask-dot kernel: blocks per grid step")

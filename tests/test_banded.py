@@ -318,8 +318,9 @@ def test_masked_ops_exact_across_core_shapes():
         np.testing.assert_allclose(s, ref_s, atol=1e-5, err_msg=str(core))
 
 
-def test_masked_int8_ops_match_indexing():
-    """int8 masks route through the Pallas mask-dot kernels
+@pytest.mark.parametrize("mask_dt", ["int8", "int4"])
+def test_masked_int8_ops_match_indexing(mask_dt):
+    """int8/int4 masks route through the Pallas mask-dot kernels
     (ops/pallas/mask_kernels.py, interpret-mode on CPU): gather == direct
     indexing and scatter == np.add.at for bf16-representable values (the
     kernel's dot is one-hot bf16 x bf16 with f32 accumulation, so
@@ -344,9 +345,11 @@ def test_masked_int8_ops_match_indexing():
     vals = jnp.asarray(rng.normal(size=(B2, n, K2, C2)).astype(np.float32)
                        ).astype(jnp.bfloat16).astype(jnp.float32)
 
-    masks = block_masks(idx, cells, W, dtype=jnp.int8)
-    assert masks.dtype == jnp.int8
-    np.testing.assert_array_equal(np.asarray(jnp.sum(masks, axis=-1)), 1)
+    masks = block_masks(idx, cells, W,
+                        dtype=jnp.int8 if mask_dt == "int8" else jnp.int4)
+    assert masks.dtype == jnp.dtype(mask_dt)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(masks.astype(jnp.int32), axis=-1)), 1)
 
     g = np.asarray(masked_gather(v, masks, cells, W))
     i_np = np.asarray(idx)
@@ -389,7 +392,7 @@ def test_masked_int8_model_matches_bf16_masks():
     x_in, _ = split_batch(features_from_raw(raw))
     x_in = jnp.asarray(x_in)
     outs = {}
-    for mdt in ("auto", "int8"):
+    for mdt in ("auto", "int8", "int4"):
         cfg = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
                             k_neighbors=6, knn_window=2, dtype="bfloat16",
                             neighbor_impl="masked", mask_dtype=mdt)
@@ -397,4 +400,6 @@ def test_masked_int8_model_matches_bf16_masks():
         params = model.init(jax.random.PRNGKey(0))
         outs[mdt] = np.asarray(jax.jit(model.apply)(params, x_in))
     np.testing.assert_allclose(outs["int8"], outs["auto"],
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(outs["int4"], outs["auto"],
                                rtol=5e-2, atol=5e-3)
