@@ -46,6 +46,10 @@ run headline_i8_g2 900 $B --family shiftinv --cells 32 -b 4 --impl masked --mask
 run headline_i8_g1 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int8 --group 1 --scan 10
 run headline_i8_g4 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int8 --group 4 --scan 10
 run shiftinv15_i8 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mask_dtype int8 --scan 5
+# 5c. int4 masks (4x less mask HBM than bf16; Mosaic packs int4 natively)
+run headline_i4 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int4 --scan 10
+run shiftinv15_i4 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mask_dtype int4 --scan 5
+run shiftinv_64_i4 900 $B --family shiftinv --cells 64 -b 1 --impl masked --mask_dtype int4 --remat --scan 3
 # 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
 #    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
 #    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain
