@@ -51,6 +51,9 @@ PROBE_TIMEOUT = int(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "90"))
 TPU_TIMEOUT = int(os.environ.get("NBODY_BENCH_TPU_TIMEOUT", "540"))
 FALLBACK_TIMEOUT = int(os.environ.get("NBODY_BENCH_FALLBACK_TIMEOUT", "480"))
 FALLBACK_CELLS = int(os.environ.get("NBODY_BENCH_FALLBACK_CELLS", "16"))
+# mask storage for the masked neighbor path (config.ModelConfig.mask_dtype):
+# sweep on-chip via scripts/round4_queue.sh, then pin the winner here
+MASK_DTYPE = os.environ.get("NBODY_BENCH_MASK_DTYPE", "auto")
 
 # a minimal end-to-end device program: jit one matmul, fetch ONE element
 # (jax.block_until_ready does not reliably block on this platform)
@@ -143,7 +146,7 @@ def measure_tpu_graph_step() -> Tuple[float, List[float]]:
     # distance-sum comparison; zero tolerance for missed edges).
     cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
                         k_neighbors=K, dtype="bfloat16", knn_window=2,
-                        neighbor_impl="masked")
+                        neighbor_impl="masked", mask_dtype=MASK_DTYPE)
     # refuse to report a number when the graph is not provably covered —
     # the guard against the silent edge-dropping class that forced the
     # round-1 46.6x retraction (PERF.md)
@@ -196,9 +199,12 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool,
     env["NBODY_BENCH_CELLS"] = str(cells)
     if force_cpu:
         # 2 steps per dispatch, no extra warmup: the fallback must land a
-        # number in minutes (measured ~2.5 min wall at 16^3 end to end)
+        # number in minutes (measured ~2.5 min wall at 16^3 end to end).
+        # Pin auto masks: the Pallas mask/idx-dot kernels run interpret-mode
+        # on CPU — orders of magnitude slower than the einsum path.
         env["NBODY_BENCH_ITERS"] = "2"
         env["NBODY_BENCH_WARMUP"] = "0"
+        env["NBODY_BENCH_MASK_DTYPE"] = "auto"
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=REPO, timeout=timeout_s, env=env)
     for line in out.stdout.strip().splitlines():

@@ -151,7 +151,10 @@ class ModelConfig:
     # (bf16/f32 one XLA einsum per op); "int8"/"int4" cut the mask HBM
     # bytes — the step's dominant traffic — 2x/4x by routing every
     # neighbor op through the Pallas mask-dot kernels (integer tile
-    # converted to bf16 in VMEM; ops/pallas/mask_kernels.py).  The
+    # converted to bf16 in VMEM; ops/pallas/mask_kernels.py); "index"
+    # stores only the (B, NB, ET) int32 per-edge patch positions and
+    # synthesizes the one-hot in VMEM (ops/pallas/idx_kernels.py) — no
+    # mask array in HBM at all (~100-800x less mask traffic).  The
     # kernel dots run bf16 on the MXU, so exact-f32 mode should keep
     # "auto".
     mask_dtype: str = "auto"
@@ -235,9 +238,10 @@ def build_parser() -> argparse.ArgumentParser:
     adg("--masked_core", type=int, nargs=3, default=None, metavar="D",
         help="Masked-path core block shape (3 ints); default = swept optimum")
     adg("--mask_dtype", type=str, default="auto",
-        choices=["auto", "int8", "int4"],
+        choices=["auto", "int8", "int4", "index"],
         help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
-             "less mask HBM traffic, bf16 MXU dots)")
+             "less mask HBM traffic); index = mask-free idx-dot path (the "
+             "one-hot is synthesized in VMEM; bf16 MXU dots)")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")

@@ -213,7 +213,7 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
     if cfg.neighbor_impl != "masked" or lat is None:
         return None, lat
     from nbody_tpu.ops.blocked import (MASKED_CORE, block_geometry,
-                                       block_masks)
+                                       block_masks, block_positions)
     req = getattr(cfg, "mask_dtype", "auto")
     if req in ("int8", "int4"):
         # integer masks route every neighbor op through the Pallas
@@ -234,13 +234,25 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
         # slot 0 is the self edge (knn include_self): its masks are dropped
         # (identity copy), so the array covers K-1 slots — 1/K less of the
         # step's dominant HBM traffic (ops/blocked.block_masks)
-        est = (b * n * (k - 1) * ext[0] * ext[1] * ext[2]
-               * jnp.dtype(mask_dt).itemsize)
+        if req == "index":
+            # mask-free path: only the (B, NB, ET) int32 positions exist —
+            # the one-hot is synthesized in VMEM by the idx-dot kernels
+            # (ops/pallas/idx_kernels.py), so the HBM cap never binds and
+            # the largest (fastest-swept) core is always chosen
+            est = b * n * (k - 1) * 4
+        else:
+            est = (b * n * (k - 1) * ext[0] * ext[1] * ext[2]
+                   * jnp.dtype(mask_dt).itemsize)
         if est <= MASKED_BYTES_CAP:
             lat3 = (lat[0], lat[1], core, True)
             record.update(
                 impl="masked", core=list(core), mask_bytes=int(est),
-                mask_dtype=jnp.dtype(mask_dt).name, fallback=False)
+                mask_dtype=("index" if req == "index"
+                            else jnp.dtype(mask_dt).name),
+                fallback=False)
+            if req == "index":
+                return block_positions(idx, lat[0], lat[1], core=core,
+                                       drop_self_slot0=True), lat3
             return block_masks(idx, lat[0], lat[1], dtype=mask_dt,
                                core=core, drop_self_slot0=True), lat3
     import warnings

@@ -265,13 +265,35 @@ def block_masks(idx: jnp.ndarray, cells: int, window: int,
     return jax.lax.stop_gradient((p[..., None] == lane).astype(dtype))
 
 
+def block_positions(idx: jnp.ndarray, cells: int, window: int,
+                    core=None, drop_self_slot0: bool = False) -> jnp.ndarray:
+    """(B, N, K) lattice-kNN ids -> (B, NB, ET) int32 per-edge patch
+    positions: the mask-free masked path (mask_dtype='index').
+
+    This is the information the one-hot masks are a P-fold blowup of; the
+    idx-dot kernels (ops/pallas/idx_kernels.py) synthesize the one-hot tile
+    in VMEM per block, so NOTHING mask-shaped ever touches HBM — neither
+    the once-per-step build nor the per-pass reads that are the masked
+    path's dominant traffic.  Same drop_self_slot0 contract as block_masks.
+    """
+    if drop_self_slot0:
+        idx = idx[:, :, 1:]
+    return jax.lax.stop_gradient(
+        edge_block_positions(idx, cells, window, core or MASKED_CORE))
+
+
 def _mask_contract_gather(masks: jnp.ndarray, patches: jnp.ndarray):
     """(B, NB, ET, P) one-hot x (B, NB, P, C) -> (B, NB, ET, C) f32.
 
     bf16/f32 masks: one XLA batched einsum (the swept-optimal path).
-    int8 masks: the Pallas mask-dot kernel — converts the mask tile to
-    bf16 in VMEM, halving the dominant per-pass HBM traffic (XLA cannot:
-    its convert materializes a bf16 copy; PERF.md round-3 table)."""
+    int8/int4 masks: the Pallas mask-dot kernel — converts the mask tile to
+    bf16 in VMEM, cutting the dominant per-pass HBM traffic 2x/4x (XLA
+    cannot: its convert materializes a bf16 copy; PERF.md round-3 table).
+    ndim-3 int32 positions (block_positions): the idx-dot kernel — NO mask
+    array at all, the one-hot is synthesized in VMEM per block."""
+    if masks.ndim == 3:
+        from nbody_tpu.ops.pallas.idx_kernels import idx_dot_gather
+        return idx_dot_gather(masks, patches)
     if masks.dtype in (jnp.int8, jnp.int4):
         from nbody_tpu.ops.pallas.mask_kernels import mask_dot_gather
         return mask_dot_gather(masks, patches)
@@ -279,8 +301,15 @@ def _mask_contract_gather(masks: jnp.ndarray, patches: jnp.ndarray):
                       preferred_element_type=jnp.float32)
 
 
-def _mask_contract_scatter(masks: jnp.ndarray, edges: jnp.ndarray):
-    """Transposed twin: (B, NB, ET, P) x (B, NB, ET, C) -> (B, NB, P, C)."""
+def _mask_contract_scatter(masks: jnp.ndarray, edges: jnp.ndarray,
+                           p_size: Optional[int] = None):
+    """Transposed twin: (B, NB, ET, P) x (B, NB, ET, C) -> (B, NB, P, C).
+
+    p_size (= prod(dilated patch extents)) is only needed by the ndim-3
+    positions path — the one-hot paths carry it in masks.shape[3]."""
+    if masks.ndim == 3:
+        from nbody_tpu.ops.pallas.idx_kernels import idx_dot_scatter
+        return idx_dot_scatter(masks, edges, p_size)
     if masks.dtype in (jnp.int8, jnp.int4):
         from nbody_tpu.ops.pallas.mask_kernels import mask_dot_scatter
         return mask_dot_scatter(masks, edges)
@@ -326,9 +355,10 @@ def masked_scatter_add(vals: jnp.ndarray, masks: jnp.ndarray, cells: int,
     b, n, k, c = vals.shape
     core = core or MASKED_CORE
     bx, by, bz = core
+    _, ext = block_geometry(cells, window, core)
     v_blocks = cube_to_blocks(vals.reshape(b, n, k * c), cells, core)
     v_blocks = v_blocks.reshape(b, -1, bx * by * bz * k, c)
-    acc = _mask_contract_scatter(masks, v_blocks)
+    acc = _mask_contract_scatter(masks, v_blocks, ext[0] * ext[1] * ext[2])
     out = patches_fold(acc, cells, window, core).astype(vals.dtype)
     if self_part is not None:
         out = out + self_part
@@ -367,8 +397,9 @@ def masked_scatter_add_blocks(vals: jnp.ndarray, masks: jnp.ndarray,
         vals = vals[:, :, :, 1:, :]
     b, nb, r, k, c = vals.shape
     core = core or MASKED_CORE
+    _, ext = block_geometry(cells, window, core)
     v = vals.reshape(b, nb, r * k, c)
-    acc = _mask_contract_scatter(masks, v)
+    acc = _mask_contract_scatter(masks, v, ext[0] * ext[1] * ext[2])
     out = patches_fold(acc, cells, window, core).astype(vals.dtype)
     if self_part is not None:
         out = out + blocks_to_cube(self_part, cells, core)

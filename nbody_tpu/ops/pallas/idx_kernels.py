@@ -1,0 +1,144 @@
+"""Pallas index-dot kernels: the shared-mask einsum with NO mask array.
+
+The masked neighbor path's dominant HBM traffic is the one-hot mask array
+(B, NB, ET, P): 4.23 GB/pass in bf16 at 32^3 b4 K14 core (4,8,8), still
+~0.5 GB/pass at int4 (ops/pallas/mask_kernels.py), PLUS the once-per-step
+materialization of the array itself.  But the one-hot is a pure P-fold
+blowup of the per-edge patch positions (B, NB, ET) int32 — ~7 MB of actual
+information at 32^3 b4 K14.
+
+These kernels load ONLY the positions and synthesize the one-hot tile in
+VMEM per block (a broadcasted-iota compare — VPU work that never touches
+HBM), then run the same (ET, P) x (P, C) MXU dot as the swept einsum.
+Mask HBM traffic per pass: ET*4 bytes per block instead of ET*P/2..2 —
+a ~100-800x cut that removes the mask-read roofline entirely; what
+remains is the irreducible activation traffic (patches in, edges out).
+
+The one-hot is synthesized TRANSPOSED, (P, ET) with ET on lanes, so the
+positions vector never needs a lane->sublane relayout:
+  ohT[p, e] = (p == pos[e]);  gather = dot_general(ohT, patch, contract
+  dim 0 x dim 0) -> (ET, C);  scatter = ohT @ edges -> (P, C).
+
+Replaces the hot op of the reference's shift-inv layers
+(reference graph.py:367-391, the pool-over-neighbors segment ops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.ops.pallas.mask_kernels import (_float0_zeros, _pick_group,
+                                               _vmem_params)
+
+
+def _onehot_t(pos: jnp.ndarray, p_size: int) -> jnp.ndarray:
+    """(ET,) int32 positions -> transposed one-hot (P, ET) bf16 in VMEM."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (p_size, pos.shape[0]), 0)
+    return (lanes == pos[None, :]).astype(jnp.bfloat16)
+
+
+def _idx_gather_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
+    # p (1, g, ET) int32, v (1, g, P, C) bf16 -> o (1, g, ET, C) f32
+    for i in range(g):
+        oht = _onehot_t(p_ref[0, i], p_size)
+        o_ref[0, i] = jax.lax.dot_general(
+            oht, v_ref[0, i], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _idx_scatter_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
+    # p (1, g, ET) int32, v (1, g, ET, C) bf16 -> o (1, g, P, C) f32
+    for i in range(g):
+        oht = _onehot_t(p_ref[0, i], p_size)
+        o_ref[0, i] = jnp.dot(oht, v_ref[0, i],
+                              preferred_element_type=jnp.float32)
+
+
+def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
+                  p_size: int, group=None,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """pos (B, NB, ET) int32; vals (B, NB, P, C) [gather] or (B, NB, ET, C)
+    [scatter=transpose]; returns f32 (B, NB, ET|P, C)."""
+    b, nb, et = pos.shape
+    c = vals.shape[-1]
+    out_rows = p_size if transpose else et
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    g = _pick_group(nb, group)
+    kernel = _idx_scatter_kernel if transpose else _idx_gather_kernel
+    return pl.pallas_call(
+        functools.partial(kernel, g=g, p_size=p_size),
+        grid=(b, nb // g),
+        in_specs=[
+            pl.BlockSpec((1, g, et), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, vals.shape[2], c), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, out_rows, c), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nb, out_rows, c), jnp.float32),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(pos, vals)
+
+
+# The two directions are each other's transpose against the SAME positions
+# array, so the VJPs are a mutually-referencing pair — forward AND backward
+# of every neighbor op synthesize the one-hot in VMEM; the positions are
+# int32 primals with float0 cotangents (zero-size).  p_size is static (it
+# is not recoverable from the scatter operands), so the custom_vjp pair is
+# built per p_size and cached.
+
+@functools.lru_cache(maxsize=None)
+def _idx_pair(p_size: int):
+    @jax.custom_vjp
+    def gather(pos, patches):
+        return _idx_dot_call(pos, patches.astype(jnp.bfloat16),
+                             transpose=False, p_size=p_size)
+
+    @jax.custom_vjp
+    def scatter(pos, edges):
+        return _idx_dot_call(pos, edges.astype(jnp.bfloat16),
+                             transpose=True, p_size=p_size)
+
+    def g_fwd(pos, patches):
+        return gather(pos, patches), (pos, jnp.zeros((0,), patches.dtype))
+
+    def g_bwd(res, ct):
+        pos, pdt = res
+        d = _idx_dot_call(pos, ct.astype(jnp.bfloat16), transpose=True,
+                          p_size=p_size)
+        return _float0_zeros(pos), d.astype(pdt.dtype)
+
+    def s_fwd(pos, edges):
+        return scatter(pos, edges), (pos, jnp.zeros((0,), edges.dtype))
+
+    def s_bwd(res, ct):
+        pos, edt = res
+        d = _idx_dot_call(pos, ct.astype(jnp.bfloat16), transpose=False,
+                          p_size=p_size)
+        return _float0_zeros(pos), d.astype(edt.dtype)
+
+    gather.defvjp(g_fwd, g_bwd)
+    scatter.defvjp(s_fwd, s_bwd)
+    return gather, scatter
+
+
+def idx_dot_gather(pos: jnp.ndarray, patches: jnp.ndarray) -> jnp.ndarray:
+    """(B, NB, ET) int32 patch positions x (B, NB, P, C) -> (B, NB, ET, C)
+    f32 — the masked gather with the one-hot synthesized in VMEM."""
+    return _idx_pair(patches.shape[2])[0](pos, patches)
+
+
+def idx_dot_scatter(pos: jnp.ndarray, edges: jnp.ndarray,
+                    p_size: int) -> jnp.ndarray:
+    """(B, NB, ET) int32 x (B, NB, ET, C) -> (B, NB, P, C) f32 per-block
+    accumulations (caller overlap-adds via blocked.patches_fold)."""
+    return _idx_pair(p_size)[1](pos, edges)

@@ -38,8 +38,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--core", type=int, nargs=3, default=None)
-    ap.add_argument("--mask_dtype", default="auto", choices=["auto", "int8", "int4"],
-                    help="int8 = Pallas mask-dot path (half mask HBM bytes)")
+    ap.add_argument("--mask_dtype", default="auto",
+                    choices=["auto", "int8", "int4", "index"],
+                    help="int8/int4 = Pallas mask-dot path (2x/4x less mask "
+                         "HBM bytes); index = mask-free idx-dot path")
     ap.add_argument("--group", type=int, default=None,
                     help="mask-dot kernel: blocks per grid step")
     ap.add_argument("--no-knn", action="store_true",

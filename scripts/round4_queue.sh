@@ -50,6 +50,15 @@ run shiftinv15_i8 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mas
 run headline_i4 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype int4 --scan 10
 run shiftinv15_i4 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mask_dtype int4 --scan 5
 run shiftinv_64_i4 900 $B --family shiftinv --cells 64 -b 1 --impl masked --mask_dtype int4 --remat --scan 3
+# 5d. mask-FREE idx-dot path (ops/pallas/idx_kernels.py): no mask array in
+#     HBM at all — the expected round-4 headline configuration.  Sweep the
+#     grouping; larger cores have no mask HBM cap in this mode.
+run headline_idx 900 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --scan 10
+run headline_idx_g1 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --group 1 --scan 10
+run headline_idx_g4 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --group 4 --scan 10
+run headline_idx_888 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --core 8 8 8 --group 1 --scan 10
+run shiftinv15_idx 900 $B --family shiftinv15 --cells 32 -b 4 --impl masked --mask_dtype index --scan 5
+run shiftinv_64_idx 900 $B --family shiftinv --cells 64 -b 1 --impl masked --mask_dtype index --remat --scan 3
 # 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
 #    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
 #    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain

@@ -318,15 +318,16 @@ def test_masked_ops_exact_across_core_shapes():
         np.testing.assert_allclose(s, ref_s, atol=1e-5, err_msg=str(core))
 
 
-@pytest.mark.parametrize("mask_dt", ["int8", "int4"])
+@pytest.mark.parametrize("mask_dt", ["int8", "int4", "index"])
 def test_masked_int8_ops_match_indexing(mask_dt):
     """int8/int4 masks route through the Pallas mask-dot kernels
-    (ops/pallas/mask_kernels.py, interpret-mode on CPU): gather == direct
-    indexing and scatter == np.add.at for bf16-representable values (the
-    kernel's dot is one-hot bf16 x bf16 with f32 accumulation, so
-    bf16-exact inputs pass through exactly)."""
-    from nbody_tpu.ops.blocked import (block_masks, masked_gather,
-                                       masked_scatter_add)
+    (ops/pallas/mask_kernels.py) and 'index' positions through the
+    mask-free idx-dot kernels (ops/pallas/idx_kernels.py), interpret-mode
+    on CPU: gather == direct indexing and scatter == np.add.at for
+    bf16-representable values (the dot is one-hot bf16 x bf16 with f32
+    accumulation, so bf16-exact inputs pass through exactly)."""
+    from nbody_tpu.ops.blocked import (block_masks, block_positions,
+                                       masked_gather, masked_scatter_add)
     from nbody_tpu.ops.knn import knn_periodic_lattice_batch
     from nbody_tpu.data.synthetic import synthetic_raw_cubes
     from nbody_tpu.data.dataset import (features_from_raw, split_batch,
@@ -345,11 +346,15 @@ def test_masked_int8_ops_match_indexing(mask_dt):
     vals = jnp.asarray(rng.normal(size=(B2, n, K2, C2)).astype(np.float32)
                        ).astype(jnp.bfloat16).astype(jnp.float32)
 
-    masks = block_masks(idx, cells, W,
-                        dtype=jnp.int8 if mask_dt == "int8" else jnp.int4)
-    assert masks.dtype == jnp.dtype(mask_dt)
-    np.testing.assert_array_equal(
-        np.asarray(jnp.sum(masks.astype(jnp.int32), axis=-1)), 1)
+    if mask_dt == "index":
+        masks = block_positions(idx, cells, W)
+        assert masks.ndim == 3 and masks.dtype == jnp.int32
+    else:
+        masks = block_masks(idx, cells, W,
+                            dtype=jnp.int8 if mask_dt == "int8" else jnp.int4)
+        assert masks.dtype == jnp.dtype(mask_dt)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.sum(masks.astype(jnp.int32), axis=-1)), 1)
 
     g = np.asarray(masked_gather(v, masks, cells, W))
     i_np = np.asarray(idx)
@@ -392,14 +397,39 @@ def test_masked_int8_model_matches_bf16_masks():
     x_in, _ = split_batch(features_from_raw(raw))
     x_in = jnp.asarray(x_in)
     outs = {}
-    for mdt in ("auto", "int8", "int4"):
+    for mdt in ("auto", "int8", "int4", "index"):
         cfg = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
                             k_neighbors=6, knn_window=2, dtype="bfloat16",
                             neighbor_impl="masked", mask_dtype=mdt)
         model = build_model(cfg, box=4.0 * cells)
         params = model.init(jax.random.PRNGKey(0))
         outs[mdt] = np.asarray(jax.jit(model.apply)(params, x_in))
-    np.testing.assert_allclose(outs["int8"], outs["auto"],
-                               rtol=5e-2, atol=5e-3)
-    np.testing.assert_allclose(outs["int4"], outs["auto"],
+    for mdt in ("int8", "int4", "index"):
+        np.testing.assert_allclose(outs[mdt], outs["auto"],
+                                   rtol=5e-2, atol=5e-3, err_msg=mdt)
+
+
+def test_masked_index_shiftinv15_matches_auto():
+    """The mask-free idx-dot path under the 15-op family: its fused wide
+    gathers contract at K*C-wide channel dims through the same kernels —
+    outputs must match the bf16-mask einsum path (identical one-hot
+    content, synthesized in VMEM instead of stored)."""
+    from nbody_tpu import config as C
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=5)
+    x_in, _ = split_batch(features_from_raw(raw))
+    x_in = jnp.asarray(x_in)
+    outs = {}
+    for mdt in ("auto", "index"):
+        cfg = C.ModelConfig(family="shiftinv15", channels=(3, 8, 8, 3),
+                            k_neighbors=6, knn_window=2, dtype="bfloat16",
+                            neighbor_impl="masked", mask_dtype=mdt)
+        model = build_model(cfg, box=4.0 * cells)
+        params = model.init(jax.random.PRNGKey(0))
+        outs[mdt] = np.asarray(jax.jit(model.apply)(params, x_in))
+    np.testing.assert_allclose(outs["index"], outs["auto"],
                                rtol=5e-2, atol=5e-3)
