@@ -198,7 +198,8 @@ def coverage_violations(cfg: C.ModelConfig, box: float, x_in) -> int:
 MASKED_BYTES_CAP = 8 * 1024 ** 3
 
 
-def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
+def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict,
+                mesh=None):
     """Precomputed shared one-hot masks (neighbor_impl='masked'): one
     (B, NB, ET, P) array per step, consumed by every neighbor op fwd+bwd
     (ops/blocked.block_masks; PERF.md shared-mask formulation).
@@ -215,6 +216,13 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict):
     from nbody_tpu.ops.blocked import (MASKED_CORE, block_geometry,
                                        block_masks, block_positions)
     req = getattr(cfg, "mask_dtype", "auto")
+    if req != "auto" and mesh is not None and mesh.size > 1:
+        # the Pallas mask/idx-dot kernels are opaque to GSPMD: under a
+        # sharded mesh XLA cannot partition a pallas_call and would gather
+        # its operands to every device — the einsum masks partition cleanly
+        # instead (the round-3 HLO-pinned comm story, tests/test_comm_hlo)
+        record.update(mask_dtype_requested=req)
+        req = "auto"
     if req in ("int8", "int4"):
         # integer masks route every neighbor op through the Pallas
         # mask-dot kernels (ops/pallas/mask_kernels.py): 2x/4x less mask
@@ -332,7 +340,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice if (lattice and n == cells ** 3) else None
-            masks, lat = _make_masks(cfg, lat, idx, dtype, record)
+            masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
             return shiftinv.shiftinv_vel_model(
                 params, pos.astype(dtype), za.astype(dtype),
                 vel.astype(dtype), idx, box,
@@ -365,7 +373,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                 idx = knn(pos)
                 n = x_in.shape[-2]
                 lat = lattice if (lattice and n == cells ** 3) else None
-                masks, lat = _make_masks(cfg, lat, idx, dtype, record)
+                masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
                 return shiftinv.shiftinv_model(
                     params, pos.astype(dtype), za.astype(dtype), idx, box,
                     band=_effective_band(cfg, band, n, cells),
@@ -389,7 +397,7 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
             idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice15 if (lattice15 and n == cells ** 3) else None
-            masks, lat = _make_masks(cfg, lat, idx, dtype, record)
+            masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
             return shiftinv15.shiftinv15_model(
                 params, pos.astype(dtype), za.astype(dtype), idx, box,
                 band=_effective_band(cfg, band, n, cells),

@@ -208,3 +208,35 @@ def test_trainer_ensemble_with_particle_axis():
                                        ensemble=2, data_axis=2))
     with pytest.raises(ValueError):
         Trainer(bad)
+
+
+def test_mask_dtype_downgrades_under_mesh():
+    """The Pallas mask/idx-dot kernels are opaque to GSPMD, so a sharded
+    mesh must force the einsum mask route: a mask_dtype='index' model built
+    with a mesh records the downgrade and still trains correctly under the
+    sharded step (registry._make_masks mesh guard)."""
+    mesh = make_mesh(data=2, particle=2)
+    cfg = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
+                        k_neighbors=4, knn_window=2, seed=3,
+                        neighbor_impl="masked", mask_dtype="index")
+    model = build_model(cfg, box=32.0, mesh=mesh)
+    opt = optax.adam(1e-3)
+    x_in, y = _batch(b=4)
+    state0 = init_train_state(model, opt, seed=3)
+    sh_step = make_sharded_train_step(model, opt, mesh)
+    xs = jax.device_put(x_in, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    state_sh, loss_sh = sh_step(state0, xs, ys)
+    assert np.isfinite(float(loss_sh))
+    rec = model.impl_record
+    assert rec["mask_dtype_requested"] == "index"
+    assert rec["mask_dtype"] in ("bfloat16", "float32")
+
+    # and the single-device build honors the request
+    cfg1 = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
+                         k_neighbors=4, knn_window=2, seed=3,
+                         neighbor_impl="masked", mask_dtype="index")
+    m1 = build_model(cfg1, box=32.0)
+    p1 = m1.init(jax.random.PRNGKey(0))
+    _ = jax.jit(m1.apply)(p1, x_in)  # trace fills the record
+    assert m1.impl_record["mask_dtype"] == "index"
