@@ -54,6 +54,13 @@ FALLBACK_CELLS = int(os.environ.get("NBODY_BENCH_FALLBACK_CELLS", "16"))
 # mask storage for the masked neighbor path (config.ModelConfig.mask_dtype):
 # sweep on-chip via scripts/round4_queue.sh, then pin the winner here
 MASK_DTYPE = os.environ.get("NBODY_BENCH_MASK_DTYPE", "auto")
+# neighbor impl: "masked" is the TPU-swept optimum; the CPU fallback forces
+# "banded" (masks are a TPU trade — on CPU the one-hot einsums measured 16x
+# slower than XLA's native gather, which ops/banded routes to off-TPU)
+NEIGHBOR_IMPL = os.environ.get("NBODY_BENCH_NEIGHBOR_IMPL", "masked")
+# compute dtype: bf16 is an MXU trade; the CPU fallback forces f32 (native
+# there — measured 8.5x faster than XLA CPU's emulated bf16 at 16^3)
+DTYPE = os.environ.get("NBODY_BENCH_DTYPE", "bfloat16")
 
 # a minimal end-to-end device program: jit one matmul, fetch ONE element
 # (jax.block_until_ready does not reliably block on this platform)
@@ -145,8 +152,8 @@ def measure_tpu_graph_step() -> Tuple[float, List[float]]:
     # exact O(N^2) search by the coverage guard below on every run (f64
     # distance-sum comparison; zero tolerance for missed edges).
     cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
-                        k_neighbors=K, dtype="bfloat16", knn_window=2,
-                        neighbor_impl="masked", mask_dtype=MASK_DTYPE)
+                        k_neighbors=K, dtype=DTYPE, knn_window=2,
+                        neighbor_impl=NEIGHBOR_IMPL, mask_dtype=MASK_DTYPE)
     # refuse to report a number when the graph is not provably covered —
     # the guard against the silent edge-dropping class that forced the
     # round-1 46.6x retraction (PERF.md)
@@ -205,6 +212,8 @@ def _measure_in_subprocess(timeout_s: int, force_cpu: bool,
         env["NBODY_BENCH_ITERS"] = "2"
         env["NBODY_BENCH_WARMUP"] = "0"
         env["NBODY_BENCH_MASK_DTYPE"] = "auto"
+        env["NBODY_BENCH_NEIGHBOR_IMPL"] = "banded"
+        env["NBODY_BENCH_DTYPE"] = "float32"
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=REPO, timeout=timeout_s, env=env)
     for line in out.stdout.strip().splitlines():

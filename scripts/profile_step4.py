@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--scan", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--core", type=int, nargs=3, default=None)
+    ap.add_argument("--mask_dtype", default="auto",
+                    choices=["auto", "int8", "int4", "index"],
+                    help="mask storage mode for A and B (config.ModelConfig)")
     ap.add_argument("--platform", default="default")
     args = ap.parse_args()
 
@@ -94,7 +97,7 @@ def main():
     # ---- A: full train step --------------------------------------------
     cfg = C.ModelConfig(family="shiftinv", channels=tuple(C.GRAPH_CHANNELS),
                         k_neighbors=k, dtype="bfloat16", knn_window=w,
-                        neighbor_impl="masked")
+                        neighbor_impl="masked", mask_dtype=args.mask_dtype)
     model = build_model(cfg, box=box)
     opt = optax.adam(1e-3)
     state = init_train_state(model, opt)
@@ -114,9 +117,15 @@ def main():
     pos_norm = jnp.mod(pos / box, 1.0)
     idx = jax.jit(lambda p: knn_periodic_lattice_batch(
         p, k, cells=cells, window=w))(pos_norm)
-    masks = jax.jit(lambda i: blocked.block_masks(
-        i, cells, w, dtype=jnp.bfloat16, core=core,
-        drop_self_slot0=True))(idx)
+    if args.mask_dtype == "index":
+        masks = jax.jit(lambda i: blocked.block_positions(
+            i, cells, w, core=core, drop_self_slot0=True))(idx)
+    else:
+        mdt = {"auto": jnp.bfloat16, "int8": jnp.int8,
+               "int4": jnp.int4}[args.mask_dtype]
+        masks = jax.jit(lambda i: blocked.block_masks(
+            i, cells, w, dtype=mdt, core=core,
+            drop_self_slot0=True))(idx)
     float(np.asarray(masks).ravel()[0] if False else 0.0)
 
     # ---- B: mask-op chain, no network matmuls --------------------------

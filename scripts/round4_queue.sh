@@ -39,6 +39,7 @@ run headline_noknn 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan
 # 5. step decomposition for the efficiency plan (VERDICT #5): mask-pass
 #    chain vs matmul twin vs full step
 run profile_decomp 1500 python scripts/profile_step4.py --platform default
+run profile_decomp_idx 1500 python scripts/profile_step4.py --platform default --mask_dtype index
 # 5b. the targeted fix: int8 masks via the Pallas mask-dot kernels (half
 #     the mask HBM bytes, the step's dominant traffic).  Sweep the
 #     blocks-per-grid-step grouping — per-step fixed cost vs VMEM.
