@@ -58,24 +58,28 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     bias = layer_params["B"][0]    # (q,)
     dt = h.dtype
 
-    # op 1: no pooling
-    h1 = jnp.einsum("bnkc,cq->bnkq", h, w[0], preferred_element_type=dt)
-
-    # op 2: pool rows (segment = column/neighbor id), matmul, re-broadcast.
-    # Pool, matmul, and broadcast are all linear, so place the matmul where
-    # the expensive banded scatter AND gather both run at width
-    # min(C_in, q) — exact by linearity, ~30% fewer banded FLOPs across the
-    # default channel stack:
+    # op 2 setup: pool rows (segment = column/neighbor id), matmul,
+    # re-broadcast.  Pool, matmul, and broadcast are all linear, so place
+    # the matmul where the expensive banded scatter AND gather both run at
+    # width min(C_in, q) — exact by linearity, ~30% fewer banded FLOPs
+    # across the default channel stack:
     #   q <  C: matmul at edge level first -> scatter & gather at width q
     #   q >= C: scatter at C, gather at C, matmul per edge afterwards
     c_in, q = w.shape[1], w.shape[2]
     if q < c_in:
-        hw = jnp.einsum("bnkc,cq->bnkq", h, w[1], preferred_element_type=dt)
+        # ops 1+2 share the edge-level matmul operand: one fused einsum
+        # against [W1|W2] reads the big edge tensor ONCE (two separate
+        # dots would stream it twice — per-column results are identical)
+        h12 = jnp.einsum("bnkc,cq->bnkq", h,
+                         jnp.concatenate([w[0], w[1]], axis=1),
+                         preferred_element_type=dt)
+        h1, hw = h12[..., :q], h12[..., q:]
         pooled_rows = neighbor_segment_mean(hw, idx, band, counts, lattice,
                                             masks)
         h2 = neighbor_gather(pooled_rows, idx, band, lattice,
                              masks=masks)                        # (b, N, K, q)
     else:
+        h1 = jnp.einsum("bnkc,cq->bnkq", h, w[0], preferred_element_type=dt)
         pooled_rows = neighbor_segment_mean(h, idx, band, counts, lattice,
                                             masks)
         h2 = jnp.einsum("bnkc,cq->bnkq",
@@ -88,8 +92,10 @@ def shift_inv_layer(h: jnp.ndarray, idx: jnp.ndarray,
     h3 = jnp.einsum("bnc,cq->bnq", pooled_cols, w[2],
                     preferred_element_type=dt)[:, :, None, :]
 
-    # op 4: pool cube == mean over (N, K), broadcast everywhere
-    pooled_all = jnp.mean(h, axis=(1, 2))                        # (b, C)
+    # op 4: pool cube == mean over (N, K), broadcast everywhere.  Every row
+    # has exactly K slots, so the cube mean is the mean of the K-means —
+    # reusing pooled_cols skips another full edge-tensor read
+    pooled_all = jnp.mean(pooled_cols, axis=1)                   # (b, C)
     h4 = jnp.einsum("bc,cq->bq", pooled_all, w[3],
                     preferred_element_type=dt)[:, None, None, :]
 
@@ -139,18 +145,22 @@ def _shift_inv_layer_blocks(hB: jnp.ndarray, layer_params, masks, cells,
     dt = hB.dtype
     c_in, q = w.shape[1], w.shape[2]
 
-    h1 = jnp.einsum("bnrkc,cq->bnrkq", hB, w[0], preferred_element_type=dt)
-
     def seg_mean(e):
         s = masked_scatter_add_blocks(e, masks, cells, window, core=core,
                                       self_slot0=self_free)
         return s / jnp.maximum(counts, 1.0)[..., None]
 
     if q < c_in:
-        hw = jnp.einsum("bnrkc,cq->bnrkq", hB, w[1], preferred_element_type=dt)
+        # ops 1+2 fused against [W1|W2]: one read of the edge tensor
+        h12 = jnp.einsum("bnrkc,cq->bnrkq", hB,
+                         jnp.concatenate([w[0], w[1]], axis=1),
+                         preferred_element_type=dt)
+        h1, hw = h12[..., :q], h12[..., q:]
         h2 = masked_gather_blocks(seg_mean(hw), masks, cells, window,
                                   core=core, self_slot0=self_free)
     else:
+        h1 = jnp.einsum("bnrkc,cq->bnrkq", hB, w[0],
+                        preferred_element_type=dt)
         pooled = masked_gather_blocks(seg_mean(hB), masks, cells, window,
                                       core=core, self_slot0=self_free)
         h2 = jnp.einsum("bnrkc,cq->bnrkq", pooled, w[1],
@@ -159,7 +169,9 @@ def _shift_inv_layer_blocks(hB: jnp.ndarray, layer_params, masks, cells,
     pooled_cols = jnp.mean(hB, axis=3)                           # (b, NB, R, C)
     h3 = jnp.einsum("bnrc,cq->bnrq", pooled_cols, w[2],
                     preferred_element_type=dt)[:, :, :, None, :]
-    pooled_all = jnp.mean(hB, axis=(1, 2, 3))                    # (b, C)
+    # cube mean == mean of the K-means (every row has K slots): reuse
+    # pooled_cols instead of re-reading the edge tensor
+    pooled_all = jnp.mean(pooled_cols, axis=(1, 2))              # (b, C)
     h4 = jnp.einsum("bc,cq->bq", pooled_all, w[3],
                     preferred_element_type=dt)[:, None, None, None, :]
 

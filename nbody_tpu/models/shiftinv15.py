@@ -345,14 +345,19 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
            / live[:, None]).astype(dt)
     h_p = jnp.mean(h_d, axis=1)                         # (b, C)
 
-    out = mm(hB, w[0])                                  # 1 identity
     # fused gather: transpose rows (2) + col-broadcast (4, 8, 14) +
     # row-broadcast (5, 7, 15).  The transpose is an edge permutation and
     # commutes with the channel matmul — apply W first when it shrinks.
     x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
     x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
     pre_w = q < c_in
-    hinB = mm(hB, w[1]) if pre_w else hB
+    if pre_w:
+        # ops 1+2 share the edge-level matmul operand: one fused einsum
+        # against [W1|W2] streams the big edge tensor ONCE
+        o12 = mm(hB, jnp.concatenate([w[0], w[1]], axis=1))
+        out, hinB = o12[..., :q], o12[..., q:]
+    else:
+        out, hinB = mm(hB, w[0]), hB                    # 1 identity
     cw = hinB.shape[-1]
     payload = jnp.concatenate(
         [to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw)), x_col, x_row],
