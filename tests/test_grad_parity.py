@@ -102,3 +102,40 @@ def test_masked_grads_match_indexed_bf16(family):
     min_frac = 0.97 if family == "shiftinv" else 0.85
     assert frac_ok >= min_frac, \
         f"only {frac_ok:.1%} of grads within tolerance (need {min_frac:.0%})"
+
+
+@pytest.mark.parametrize("family", ["shiftinv", "shiftinv15"])
+def test_index_mode_grads_match_masked_under_remat(family):
+    """The idx-dot kernels' custom VJPs must compose with jax.checkpoint —
+    the 64^3 training path runs remat=True, and in index mode every
+    rematerialized layer re-synthesizes the one-hot in VMEM.  Pins the
+    full bf16 loss gradient of (mask_dtype='index', remat=True) against
+    (mask_dtype='auto', remat=False)."""
+    def grads(mask_dtype, remat):
+        cfg = C.ModelConfig(family=family, channels=(3, 16, 3), k_neighbors=K,
+                            dtype="bfloat16", knn_window=2,
+                            knn_method="lattice", neighbor_impl="masked",
+                            mask_dtype=mask_dtype, remat=remat, seed=3)
+        model = build_model(cfg, box=4.0 * CELLS)
+        raw = synthetic_raw_cubes(num_samples=2, cells=CELLS, seed=0)
+        x_in, y_true = split_batch(jnp.asarray(features_from_raw(raw)), 6)
+        params = model.init(jax.random.PRNGKey(cfg.seed))
+
+        def loss(p):
+            return loss_za(model.apply(p, x_in), y_true)
+
+        val, g = jax.value_and_grad(loss)(params)
+        return float(val), g
+
+    v_auto, g_auto = grads("auto", remat=False)
+    v_idx, g_idx = grads("index", remat=True)
+    assert np.isfinite(v_idx)
+    # identical one-hot content; bf16 masks vs bf16 in-VMEM synthesis only
+    # differ in contraction layout -> bf16-rounding-level agreement
+    np.testing.assert_allclose(v_idx, v_auto, rtol=3e-2)
+    flat_a, _ = ravel_pytree(g_auto)
+    flat_x, _ = ravel_pytree(g_idx)
+    ga, gx = np.asarray(flat_a, np.float64), np.asarray(flat_x, np.float64)
+    rms = float(np.sqrt(np.mean(ga ** 2)))
+    scale = np.maximum(np.abs(ga), 0.05 * rms)
+    np.testing.assert_allclose(gx / scale, ga / scale, rtol=0, atol=6e-2)
