@@ -125,6 +125,10 @@ class ModelConfig:
     # displacements < ~1.5 grid spacings (true for ZA fields at these
     # redshifts; verify with ops.knn.lattice_violations) and ~1.5x faster
     knn_window: int = 3
+    # lattice-search k-selection: "sort" = jax.lax.top_k (full candidate
+    # sort); "iter" = k argmin+mask passes (ops.knn.topk_min_iter) — exact,
+    # same tie order, avoids sorting (2w+1)^3 lanes for k << that
+    knn_select: str = "sort"
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
     # neighbor gather/scatter implementation on TPU:
@@ -242,6 +246,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
              "less mask HBM traffic); index = mask-free idx-dot path (the "
              "one-hot is synthesized in VMEM; bf16 MXU dots)")
+    adg("--knn_select", type=str, default="sort", choices=["sort", "iter"],
+        help="Lattice kNN k-selection: top_k sort vs k argmin passes")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")
@@ -304,7 +310,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         k_neighbors=(args.kneighbors if args.kneighbors > 0 else NUM_NEIGHBORS),
         seed=args.seed,
         masked_core=(tuple(args.masked_core) if args.masked_core else None),
-        mask_dtype=args.mask_dtype)
+        mask_dtype=args.mask_dtype,
+        knn_select=args.knn_select)
     train = TrainConfig(
         num_iters=args.num_iters,
         batch_size=args.batch_size,

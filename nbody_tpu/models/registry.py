@@ -94,8 +94,9 @@ def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None):
                     return knn_lattice_sharded_batch(
                         pos_norm, k, cells=cells, mesh=mesh,
                         window=cfg.knn_window)
-            return knn_periodic_lattice_batch(pos_norm, k, cells=cells,
-                                              window=cfg.knn_window)
+            return knn_periodic_lattice_batch(
+                pos_norm, k, cells=cells, window=cfg.knn_window,
+                select=getattr(cfg, "knn_select", "sort"))
         if cfg.knn_method == "banded":
             return knn_periodic_batch(pos_norm, k, band=band)
         # "lattice" on non-cube data, or "exact": the index-band assumption

@@ -144,11 +144,30 @@ def knn_periodic_batch(pos: jnp.ndarray, k: int, box: float = 1.0,
     return jax.vmap(fn)(pos)
 
 
+def topk_min_iter(d2: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact smallest-k selection over the minor axis via k argmin+mask
+    passes: (..., M) distances -> (..., k) int32 slots, ascending, ties
+    broken to the lowest slot — the same (value, index) order
+    `jax.lax.top_k(-d2, k)` returns, WITHOUT the full M-lane sort it
+    lowers to.  k elementwise passes beat one sort for k << M (the
+    lattice search: k<=~20 of M=(2w+1)^3 candidates); sweepable on chip
+    vs the sort via ModelConfig.knn_select."""
+    m_lanes = d2.shape[-1]
+    lanes = jnp.arange(m_lanes, dtype=jnp.int32)
+    sels = []
+    for _ in range(k):
+        m = jnp.min(d2, axis=-1, keepdims=True)
+        sel = jnp.min(jnp.where(d2 == m, lanes, m_lanes), axis=-1)
+        sels.append(sel.astype(jnp.int32))
+        d2 = jnp.where(lanes == sel[..., None], jnp.inf, d2)
+    return jnp.stack(sels, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cells", "include_self",
-                                             "window"))
+                                             "window", "select"))
 def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
                          box: float = 1.0, include_self: bool = True,
-                         window: int = 3) -> jnp.ndarray:
+                         window: int = 3, select: str = "sort") -> jnp.ndarray:
     """Cell-list kNN for grid-ordered particle cubes — zero gathers.
 
     Particle n originates at lattice site (x, y, z) = unflatten(n) and is
@@ -187,7 +206,10 @@ def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
     d2 = jnp.sum(delta * delta, axis=-1)             # (N, num_off)
     d2 = d2.at[:, self_slot].set(-1.0 if include_self else jnp.inf)
 
-    _, sel = jax.lax.top_k(-d2, k)                   # (N, k) offset slots
+    if select == "iter":
+        sel = topk_min_iter(d2, k)                   # (N, k) offset slots
+    else:
+        _, sel = jax.lax.top_k(-d2, k)               # (N, k) offset slots
     off_arr = jnp.asarray(offs, dtype=jnp.int32)     # (num_off, 3)
     dxyz = off_arr[sel]                              # (N, k, 3)
 
@@ -204,10 +226,12 @@ def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
 
 def knn_periodic_lattice_batch(pos: jnp.ndarray, k: int, cells: int,
                                box: float = 1.0, include_self: bool = True,
-                               window: int = 3) -> jnp.ndarray:
+                               window: int = 3,
+                               select: str = "sort") -> jnp.ndarray:
     """Batched lattice kNN: pos (b, N, 3) -> (b, N, k)."""
     fn = functools.partial(knn_periodic_lattice, k=k, cells=cells, box=box,
-                           include_self=include_self, window=window)
+                           include_self=include_self, window=window,
+                           select=select)
     return jax.vmap(fn)(pos)
 
 

@@ -44,6 +44,8 @@ def main():
                          "HBM bytes); index = mask-free idx-dot path")
     ap.add_argument("--group", type=int, default=None,
                     help="mask-dot kernel: blocks per grid step")
+    ap.add_argument("--knn_select", default="sort", choices=["sort", "iter"],
+                    help="lattice kNN k-selection: top_k sort vs argmin passes")
     ap.add_argument("--no-knn", action="store_true",
                     help="bake a precomputed idx into the step (isolates "
                          "the network cost from the kNN rebuild)")
@@ -93,7 +95,8 @@ def main():
     cfg = C.ModelConfig(family=args.family, channels=channels,
                         k_neighbors=args.k, dtype=args.dtype,
                         knn_window=args.window, neighbor_impl=args.impl,
-                        remat=args.remat, mask_dtype=args.mask_dtype)
+                        remat=args.remat, mask_dtype=args.mask_dtype,
+                        knn_select=args.knn_select)
     if args.group:
         from nbody_tpu.ops.pallas import mask_kernels
         mask_kernels.set_group(args.group)

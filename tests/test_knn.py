@@ -167,3 +167,41 @@ def test_lattice_violations_diagnostic():
     bad = pos.copy()
     bad[0] = (bad[0] + 0.45) % 1.0  # kicked ~3.6 spacings away
     assert int(lattice_violations(jnp.asarray(bad), cells)) >= 1
+
+
+def test_topk_min_iter_matches_top_k():
+    """ops.knn.topk_min_iter == jax.lax.top_k(-d2, k) (values AND index
+    order, incl. the lowest-slot tie rule) on random and tie-heavy data."""
+    import jax
+    import numpy as np
+    from nbody_tpu.ops.knn import topk_min_iter
+    rng = np.random.default_rng(0)
+    d2 = jnp.asarray(rng.random((257, 125)).astype(np.float32))
+    _, want = jax.lax.top_k(-d2, 14)
+    got = topk_min_iter(d2, 14)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # exact ties (quantized distances): both must break to the lowest slot
+    d2q = jnp.floor(d2 * 8.0)
+    _, want_q = jax.lax.top_k(-d2q, 14)
+    got_q = topk_min_iter(d2q, 14)
+    np.testing.assert_array_equal(np.asarray(got_q), np.asarray(want_q))
+
+
+def test_lattice_knn_iter_select_matches_sort():
+    """knn_periodic_lattice(select='iter') returns the same graph as the
+    top_k sort on real synthetic positions."""
+    import numpy as np
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import (features_from_raw, split_batch,
+                                        positions_from_inputs)
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=11)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in),
+                                            box=4.0 * cells))
+    pn = jnp.mod(pos / (4.0 * cells), 1.0)
+    i_sort = knn_periodic_lattice_batch(pn, 6, cells=cells, window=2)
+    i_iter = knn_periodic_lattice_batch(pn, 6, cells=cells, window=2,
+                                        select="iter")
+    np.testing.assert_array_equal(np.asarray(i_iter), np.asarray(i_sort))
