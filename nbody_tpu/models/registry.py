@@ -93,7 +93,8 @@ def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None):
                                    cfg.knn_window):
                     return knn_lattice_sharded_batch(
                         pos_norm, k, cells=cells, mesh=mesh,
-                        window=cfg.knn_window)
+                        window=cfg.knn_window,
+                        select=getattr(cfg, "knn_select", "sort"))
             return knn_periodic_lattice_batch(
                 pos_norm, k, cells=cells, window=cfg.knn_window,
                 select=getattr(cfg, "knn_select", "sort"))

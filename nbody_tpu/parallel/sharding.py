@@ -121,7 +121,8 @@ def halo_knn_usable(cells: int, n: int, mesh: Mesh, window: int) -> bool:
 def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
                               mesh: Mesh, box: float = 1.0,
                               include_self: bool = True,
-                              window: int = 3) -> jnp.ndarray:
+                              window: int = 3,
+                              select: str = "sort") -> jnp.ndarray:
     """Halo-exchange lattice kNN for particle-sharded cubes.
 
     The TPU-native equivalent of the reference's host-side ghost-particle
@@ -178,7 +179,11 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
                 dist = jnp.full_like(dist, -1.0 if include_self else jnp.inf)
             d2.append(dist)
         d2 = jnp.stack(d2, axis=2)               # (b, N/p, num_off)
-        _, sel = jax.lax.top_k(-d2, k)
+        if select == "iter":
+            from nbody_tpu.ops.knn import topk_min_iter
+            sel = topk_min_iter(d2, k)
+        else:
+            _, sel = jax.lax.top_k(-d2, k)
         dxyz = off_arr[sel]                      # (b, N/p, k, 3)
 
         shard = jax.lax.axis_index(PARTICLE_AXIS)
