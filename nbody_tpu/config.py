@@ -248,6 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
              "one-hot is synthesized in VMEM; bf16 MXU dots)")
     adg("--knn_select", type=str, default="sort", choices=["sort", "iter"],
         help="Lattice kNN k-selection: top_k sort vs k argmin passes")
+    adg("--dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="Compute dtype for activations (params/optimizer stay f32; "
+             "bfloat16 is the TPU MXU setup and is required for the "
+             "int8/int4/index mask kernels — exact-f32 mode downgrades "
+             "them to einsum masks)")
     adg("--ensemble", type=int, default=0, metavar="E",
         help="Train an E-member multi-seed ensemble as one jitted program, "
              "members sharded over the device mesh (seeds -s, -s+1, ...)")
@@ -311,7 +317,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         seed=args.seed,
         masked_core=(tuple(args.masked_core) if args.masked_core else None),
         mask_dtype=args.mask_dtype,
-        knn_select=args.knn_select)
+        knn_select=args.knn_select,
+        dtype=args.dtype)
     train = TrainConfig(
         num_iters=args.num_iters,
         batch_size=args.batch_size,

@@ -225,6 +225,13 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict,
         # instead (the round-3 HLO-pinned comm story, tests/test_comm_hlo)
         record.update(mask_dtype_requested=req)
         req = "auto"
+    if req != "auto" and dtype == jnp.float32:
+        # the mask/idx-dot kernels cast operands to bf16 for the MXU dot —
+        # silently running them under exact-f32 mode would destroy the very
+        # precision f32 mode exists for (code review r4); downgrade to the
+        # f32 einsum masks and record it, like the mesh guard above
+        record.update(mask_dtype_requested=req)
+        req = "auto"
     if req in ("int8", "int4"):
         # integer masks route every neighbor op through the Pallas
         # mask-dot kernels (ops/pallas/mask_kernels.py): 2x/4x less mask

@@ -152,14 +152,21 @@ def topk_min_iter(d2: jnp.ndarray, k: int) -> jnp.ndarray:
     lowers to.  k elementwise passes beat one sort for k << M (the
     lattice search: k<=~20 of M=(2w+1)^3 candidates); sweepable on chip
     vs the sort via ModelConfig.knn_select."""
-    m_lanes = d2.shape[-1]
-    lanes = jnp.arange(m_lanes, dtype=jnp.int32)
+    lanes = jnp.arange(d2.shape[-1], dtype=jnp.int32)
+    # finite priority encoding so a taken lane can outrank even +inf/NaN
+    # candidates (code review r4: an inf sentinel cannot mask an inf
+    # candidate and argmin then returns duplicate slots): clamp real
+    # distances below max/4, NaNs to max/2, taken lanes to max
+    big = jnp.finfo(d2.dtype).max
+    d2c = jnp.where(jnp.isnan(d2), big * 0.5, jnp.minimum(d2, big * 0.25))
+    taken = jnp.zeros(d2.shape, bool)
     sels = []
     for _ in range(k):
-        m = jnp.min(d2, axis=-1, keepdims=True)
-        sel = jnp.min(jnp.where(d2 == m, lanes, m_lanes), axis=-1)
-        sels.append(sel.astype(jnp.int32))
-        d2 = jnp.where(lanes == sel[..., None], jnp.inf, d2)
+        # argmin returns the FIRST minimal lane — the lowest-slot tie rule
+        sel = jnp.argmin(jnp.where(taken, big, d2c), axis=-1).astype(
+            jnp.int32)
+        taken = taken | (lanes == sel[..., None])
+        sels.append(sel)
     return jnp.stack(sels, axis=-1)
 
 

@@ -126,7 +126,9 @@ def main():
         masks = jax.jit(lambda i: blocked.block_masks(
             i, cells, w, dtype=mdt, core=core,
             drop_self_slot0=True))(idx)
-    float(np.asarray(masks).ravel()[0] if False else 0.0)
+    # one-element fetch: a true barrier for the mask/position build
+    # (jax.block_until_ready is unreliable on this platform, CLAUDE.md)
+    float(np.asarray(jax.device_get(masks.ravel()[:1]))[0])
 
     # ---- B: mask-op chain, no network matmuls --------------------------
     # L*4 fwd-equivalent passes: alternate scatter/gather like the train

@@ -185,6 +185,12 @@ def test_topk_min_iter_matches_top_k():
     _, want_q = jax.lax.top_k(-d2q, 14)
     got_q = topk_min_iter(d2q, 14)
     np.testing.assert_array_equal(np.asarray(got_q), np.asarray(want_q))
+    # candidate exhaustion (k > finite lanes): selections stay DISTINCT and
+    # in range like top_k's, never duplicating a slot (code review r4)
+    d2x = jnp.asarray([[0.5, np.inf, 0.2, np.inf]], np.float32)
+    got_x = np.asarray(topk_min_iter(d2x, 4))[0]
+    assert sorted(got_x.tolist()) == [0, 1, 2, 3]
+    assert got_x[0] == 2 and got_x[1] == 0
 
 
 def test_lattice_knn_iter_select_matches_sort():

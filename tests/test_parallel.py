@@ -232,11 +232,24 @@ def test_mask_dtype_downgrades_under_mesh():
     assert rec["mask_dtype_requested"] == "index"
     assert rec["mask_dtype"] in ("bfloat16", "float32")
 
-    # and the single-device build honors the request
+    # and the single-device bf16 build honors the request
     cfg1 = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
                          k_neighbors=4, knn_window=2, seed=3,
-                         neighbor_impl="masked", mask_dtype="index")
+                         dtype="bfloat16", neighbor_impl="masked",
+                         mask_dtype="index")
     m1 = build_model(cfg1, box=32.0)
     p1 = m1.init(jax.random.PRNGKey(0))
     _ = jax.jit(m1.apply)(p1, x_in)  # trace fills the record
     assert m1.impl_record["mask_dtype"] == "index"
+
+    # exact-f32 mode also downgrades: the mask/idx-dot kernels dot in bf16,
+    # which would silently destroy f32 precision (code review r4)
+    cfg2 = C.ModelConfig(family="shiftinv", channels=(3, 8, 8, 3),
+                         k_neighbors=4, knn_window=2, seed=3,
+                         dtype="float32", neighbor_impl="masked",
+                         mask_dtype="index")
+    m2 = build_model(cfg2, box=32.0)
+    p2 = m2.init(jax.random.PRNGKey(0))
+    _ = jax.jit(m2.apply)(p2, x_in)
+    assert m2.impl_record["mask_dtype_requested"] == "index"
+    assert m2.impl_record["mask_dtype"] == "float32"
