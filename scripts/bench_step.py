@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="shiftinv")
     ap.add_argument("--cells", type=int, default=32)
@@ -54,7 +54,11 @@ def main():
                          "(amortizes dispatch latency; bench.py uses 10)")
     ap.add_argument("--platform", default="auto",
                     help="force a JAX platform (cpu for sanity checks)")
-    args = ap.parse_args()
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
 
     if args.platform == "default":
         pass                       # caller already probed; keep site platform

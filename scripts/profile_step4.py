@@ -32,7 +32,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=32)
     ap.add_argument("-b", "--batch", type=int, default=4)
@@ -45,7 +45,11 @@ def main():
                     choices=["auto", "int8", "int4", "index"],
                     help="mask storage mode for A and B (config.ModelConfig)")
     ap.add_argument("--platform", default="default")
-    args = ap.parse_args()
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
 
     if args.platform not in ("auto", "default"):
         import jax

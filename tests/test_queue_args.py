@@ -1,0 +1,76 @@
+"""The chip measurement queue runs unattended behind the tunnel-wait loop
+(scripts/wait_and_run_queue.sh) — a flag typo in any entry would only
+surface hours later on the real chip.  This dry-parses every command in
+scripts/round4_queue.sh against the ACTUAL parsers, with parse errors
+turned into test failures."""
+
+import re
+import shlex
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+sys.path.insert(0, str(REPO))
+
+
+def _queue_commands():
+    text = (REPO / "scripts" / "round4_queue.sh").read_text()
+    # join continuation lines, then collect `run <tag> <timeout> <cmd...>`
+    text = text.replace("\\\n", " ")
+    cmds = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("run "):
+            continue
+        parts = shlex.split(line)
+        tag, cmd = parts[1], parts[3:]
+        # expand the $B shorthand used by the queue
+        if cmd and cmd[0] == "$B":
+            cmd = ["python", "scripts/bench_step.py", "--platform",
+                   "default"] + cmd[1:]
+        cmds.append((tag, cmd))
+    assert len(cmds) >= 20, "queue parsing found suspiciously few commands"
+    return cmds
+
+
+class _Exit(Exception):
+    pass
+
+
+def _parse_with(parser, argv):
+    # argparse calls sys.exit(2) on bad args — surface it as a failure
+    def die(status=0, message=None):
+        raise _Exit(message or str(status))
+
+    parser.exit = die
+    parser.error = lambda msg: die(2, msg)
+    return parser.parse_args(argv)
+
+
+@pytest.mark.parametrize("tag,cmd", _queue_commands(),
+                         ids=[t for t, _ in _queue_commands()])
+def test_queue_entry_parses(tag, cmd):
+    prog = cmd[1] if cmd[0].startswith("python") else cmd[0]
+    argv = cmd[2:] if cmd[0] == "python" else cmd[1:]
+    if prog == "scripts/bench_step.py":
+        import bench_step
+        args = _parse_with(bench_step.build_parser(), argv)
+        assert args.family in ("shiftinv", "shiftinv15", "shiftinv_vel",
+                               "set", "attn")
+    elif prog == "scripts/profile_step4.py":
+        import profile_step4
+        _parse_with(profile_step4.build_parser(), argv)
+    elif prog == "-m":
+        # python -m nbody_tpu.cli.rollout ...
+        mod = cmd[2]
+        argv = cmd[3:]
+        assert mod == "nbody_tpu.cli.rollout"
+        from nbody_tpu.cli.rollout import build_chain_parser
+        _parse_with(build_chain_parser(), argv)
+    elif prog == "bench.py":
+        assert argv == []
+    else:
+        pytest.fail(f"queue entry {tag} runs unknown program {prog}")
