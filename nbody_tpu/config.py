@@ -127,7 +127,9 @@ class ModelConfig:
     knn_window: int = 3
     # lattice-search k-selection: "sort" = jax.lax.top_k (full candidate
     # sort); "iter" = k argmin+mask passes (ops.knn.topk_min_iter) — exact,
-    # same tie order, avoids sorting (2w+1)^3 lanes for k << that
+    # same tie order, avoids sorting (2w+1)^3 lanes for k << that;
+    # "pallas" = the same passes with the row tile resident in VMEM
+    # (ops/pallas/topk_kernels.py) — one HBM read of the distances total
     knn_select: str = "sort"
     # rematerialize graph layers in backward (memory for FLOPs; 64^3 cubes)
     remat: bool = False
@@ -246,8 +248,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
              "less mask HBM traffic); index = mask-free idx-dot path (the "
              "one-hot is synthesized in VMEM; bf16 MXU dots)")
-    adg("--knn_select", type=str, default="sort", choices=["sort", "iter"],
-        help="Lattice kNN k-selection: top_k sort vs k argmin passes")
+    adg("--knn_select", type=str, default="sort",
+        choices=["sort", "iter", "pallas"],
+        help="Lattice kNN k-selection: top_k sort, k argmin passes, or the "
+             "VMEM-resident Pallas selection kernel")
     adg("--dtype", type=str, default="float32",
         choices=["float32", "bfloat16"],
         help="Compute dtype for activations (params/optimizer stay f32; "

@@ -215,6 +215,9 @@ def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
 
     if select == "iter":
         sel = topk_min_iter(d2, k)                   # (N, k) offset slots
+    elif select == "pallas":
+        from nbody_tpu.ops.pallas.topk_kernels import topk_min_pallas
+        sel = topk_min_pallas(d2, k)
     else:
         _, sel = jax.lax.top_k(-d2, k)               # (N, k) offset slots
     off_arr = jnp.asarray(offs, dtype=jnp.int32)     # (num_off, 3)

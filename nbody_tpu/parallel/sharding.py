@@ -182,6 +182,10 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
         if select == "iter":
             from nbody_tpu.ops.knn import topk_min_iter
             sel = topk_min_iter(d2, k)
+        elif select == "pallas":
+            # shard_map is manual mode — pallas_call composes with it
+            from nbody_tpu.ops.pallas.topk_kernels import topk_min_pallas
+            sel = jax.vmap(lambda d: topk_min_pallas(d, k))(d2)
         else:
             _, sel = jax.lax.top_k(-d2, k)
         dxyz = off_arr[sel]                      # (b, N/p, k, 3)

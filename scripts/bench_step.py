@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "HBM bytes); index = mask-free idx-dot path")
     ap.add_argument("--group", type=int, default=None,
                     help="mask-dot kernel: blocks per grid step")
-    ap.add_argument("--knn_select", default="sort", choices=["sort", "iter"],
-                    help="lattice kNN k-selection: top_k sort vs argmin passes")
+    ap.add_argument("--knn_select", default="sort",
+                    choices=["sort", "iter", "pallas"],
+                    help="lattice kNN k-selection: top_k sort, argmin "
+                         "passes, or the VMEM-resident Pallas kernel")
     ap.add_argument("--no-knn", action="store_true",
                     help="bake a precomputed idx into the step (isolates "
                          "the network cost from the kNN rebuild)")

@@ -211,3 +211,42 @@ def test_lattice_knn_iter_select_matches_sort():
     i_iter = knn_periodic_lattice_batch(pn, 6, cells=cells, window=2,
                                         select="iter")
     np.testing.assert_array_equal(np.asarray(i_iter), np.asarray(i_sort))
+
+
+def test_topk_min_pallas_matches_top_k():
+    """The VMEM-resident Pallas k-selection (ops/pallas/topk_kernels.py,
+    interpret mode on CPU) == lax.top_k on random, tie-heavy, and
+    exhausted-candidate inputs, batched through the lattice search."""
+    import jax
+    import numpy as np
+    from nbody_tpu.ops.pallas.topk_kernels import topk_min_pallas
+    rng = np.random.default_rng(1)
+    d2 = jnp.asarray(rng.random((512, 125)).astype(np.float32))
+    _, want = jax.lax.top_k(-d2, 14)
+    got = topk_min_pallas(d2, 14)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    d2q = jnp.floor(d2 * 8.0)
+    _, want_q = jax.lax.top_k(-d2q, 14)
+    np.testing.assert_array_equal(np.asarray(topk_min_pallas(d2q, 14)),
+                                  np.asarray(want_q))
+    d2x = jnp.asarray([[0.5, np.inf, 0.2, np.inf]] * 8, np.float32)
+    got_x = np.asarray(topk_min_pallas(d2x, 4))
+    assert (np.sort(got_x, axis=1) == np.arange(4)).all()
+
+
+def test_lattice_knn_pallas_select_matches_sort():
+    import numpy as np
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import (features_from_raw, split_batch,
+                                        positions_from_inputs)
+    from nbody_tpu.ops.knn import knn_periodic_lattice_batch
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=11)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in),
+                                            box=4.0 * cells))
+    pn = jnp.mod(pos / (4.0 * cells), 1.0)
+    i_sort = knn_periodic_lattice_batch(pn, 6, cells=cells, window=2)
+    i_pal = knn_periodic_lattice_batch(pn, 6, cells=cells, window=2,
+                                       select="pallas")
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_sort))
