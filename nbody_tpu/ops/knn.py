@@ -220,8 +220,13 @@ def knn_periodic_lattice(pos: jnp.ndarray, k: int, cells: int,
         sel = topk_min_pallas(d2, k)
     else:
         _, sel = jax.lax.top_k(-d2, k)               # (N, k) offset slots
-    off_arr = jnp.asarray(offs, dtype=jnp.int32)     # (num_off, 3)
-    dxyz = off_arr[sel]                              # (N, k, 3)
+    # offs is the lexicographic (dx, dy, dz) grid, so the slot decodes
+    # arithmetically — no off_arr[sel] table gather (XLA dynamic gather is
+    # pathological on this platform, CLAUDE.md fact 3)
+    m = 2 * w + 1
+    dxyz = jnp.stack([sel // (m * m) - w,
+                      (sel // m) % m - w,
+                      sel % m - w], axis=-1)         # (N, k, 3)
 
     # decode: neighbor flat id with per-coordinate periodic wrap
     ii = jnp.arange(n, dtype=jnp.int32)

@@ -156,7 +156,6 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
             for dx in range(-w, w + 1)
             for dy in range(-w, w + 1)
             for dz in range(-w, w + 1)]
-    off_arr = jnp.asarray(offs, dtype=jnp.int32)
 
     def local_knn(local_pos):                    # (b_local, N/p, 3)
         bsz = local_pos.shape[0]
@@ -188,7 +187,12 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
             sel = jax.vmap(lambda d: topk_min_pallas(d, k))(d2)
         else:
             _, sel = jax.lax.top_k(-d2, k)
-        dxyz = off_arr[sel]                      # (b, N/p, k, 3)
+        # lexicographic slot -> (dx, dy, dz) arithmetically (no table
+        # gather; same decode as ops/knn.knn_periodic_lattice)
+        mo = 2 * w + 1
+        dxyz = jnp.stack([sel // (mo * mo) - w,
+                          (sel // mo) % mo - w,
+                          sel % mo - w], axis=-1)  # (b, N/p, k, 3)
 
         shard = jax.lax.axis_index(PARTICLE_AXIS)
         ii = jnp.arange(local_x * cells * cells, dtype=jnp.int32)
