@@ -65,6 +65,7 @@ run shiftinv_64_idx 900 $B --family shiftinv --cells 64 -b 1 --impl masked --mas
 run headline_idx_iter 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --knn_select iter --scan 10
 run headline_iter 700 $B --family shiftinv --cells 32 -b 4 --impl masked --knn_select iter --scan 10
 run headline_idx_ktop 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --knn_select pallas --scan 10
+run knn_micro 900 python scripts/bench_knn.py --platform default --cells 32 -b 4
 # 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
 #    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
 #    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain

@@ -63,6 +63,10 @@ def test_queue_entry_parses(tag, cmd):
     elif prog == "scripts/profile_step4.py":
         import profile_step4
         _parse_with(profile_step4.build_parser(), argv)
+    elif prog == "scripts/bench_knn.py":
+        import bench_knn
+        args = _parse_with(bench_knn.build_parser(), argv)
+        assert set(args.variants) <= {"sort", "iter", "pallas"}
     elif prog == "-m":
         # python -m nbody_tpu.cli.rollout ...
         mod = cmd[2]
