@@ -72,7 +72,10 @@ run knn_micro 900 python scripts/bench_knn.py --platform default --cells 32 -b 4
 #    coverage counts and saves the trajectory cube
 run rollout_32 2400 python -m nbody_tpu.cli.rollout --steps 4 -i 150 -b 4 \
     --cells 32 --synthetic -k 14 -t 4 -n r4chain
-# 7. official headline
+# 7. record the fastest measured headline config for bench.py to adopt
+#    (BENCH_WINNER.json — the driver's end-of-round bench then runs it)
+python scripts/pick_winner.py "$OUT" >> "$OUT" 2>>"$OUT.err"
+# 8. official headline (now on the winner config)
 run bench_py 1500 python bench.py
 
 echo "QUEUE_DONE $(date -u +%FT%TZ)" >> "$OUT"
