@@ -54,6 +54,11 @@ def topk_min_pallas(d2: jnp.ndarray, k: int,
     while n % t:
         t //= 2
     t = max(t, 1)
+    # under shard_map (manual mode) the output aval must declare which mesh
+    # axes it varies over — inherit the input's vma (None outside)
+    vma = getattr(jax.typeof(d2), "vma", None)
+    out_shape = (jax.ShapeDtypeStruct((n, k), jnp.int32, vma=vma)
+                 if vma else jax.ShapeDtypeStruct((n, k), jnp.int32))
     return pl.pallas_call(
         functools.partial(_topk_kernel, k=k, m=m),
         grid=(n // t,),
@@ -61,7 +66,7 @@ def topk_min_pallas(d2: jnp.ndarray, k: int,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((t, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, k), jnp.int32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

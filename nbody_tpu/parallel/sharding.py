@@ -178,10 +178,17 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
                 dist = jnp.full_like(dist, -1.0 if include_self else jnp.inf)
             d2.append(dist)
         d2 = jnp.stack(d2, axis=2)               # (b, N/p, num_off)
-        if select == "iter":
+        eff_select = select
+        if select == "pallas" and jax.default_backend() == "cpu":
+            # interpret-mode pallas cannot run under shard_map's vma
+            # checking (the HLO interpreter's internal loop carries
+            # unvarying constants); the iter variant is the same
+            # selection in plain XLA — the kernel engages on real TPU
+            eff_select = "iter"
+        if eff_select == "iter":
             from nbody_tpu.ops.knn import topk_min_iter
             sel = topk_min_iter(d2, k)
-        elif select == "pallas":
+        elif eff_select == "pallas":
             # shard_map is manual mode — pallas_call composes with it
             from nbody_tpu.ops.pallas.topk_kernels import topk_min_pallas
             sel = jax.vmap(lambda d: topk_min_pallas(d, k))(d2)
@@ -212,11 +219,11 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
 
 def knn_lattice_sharded(pos: jnp.ndarray, k: int, cells: int, mesh: Mesh,
                         box: float = 1.0, include_self: bool = True,
-                        window: int = 3) -> jnp.ndarray:
+                        window: int = 3, select: str = "sort") -> jnp.ndarray:
     """Unbatched halo-exchange lattice kNN: pos (N, 3) sharded
     P("particle") -> idx (N, k).  See knn_lattice_sharded_batch."""
     return knn_lattice_sharded_batch(pos[None], k, cells, mesh, box,
-                                     include_self, window)[0]
+                                     include_self, window, select)[0]
 
 
 def knn_periodic_sharded(pos: jnp.ndarray, k: int, mesh: Mesh,

@@ -253,3 +253,27 @@ def test_mask_dtype_downgrades_under_mesh():
     _ = jax.jit(m2.apply)(p2, x_in)
     assert m2.impl_record["mask_dtype_requested"] == "index"
     assert m2.impl_record["mask_dtype"] == "float32"
+
+
+def test_halo_knn_pallas_select_matches_sort():
+    """select='pallas' through the halo-exchange search returns the same
+    graph as the top_k sort on the virtual mesh.  (On the CPU platform the
+    sharded path substitutes the iter selection — interpret-mode pallas
+    cannot run under shard_map's vma checking — so this pins the sharded
+    select plumbing + fallback; the kernel itself is pinned by
+    test_knn.test_topk_min_pallas_matches_top_k and engages on real TPU.)"""
+    from nbody_tpu.parallel.sharding import knn_lattice_sharded
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import (features_from_raw, split_batch,
+                                        positions_from_inputs)
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=1, cells=cells, seed=23)
+    x_in, _ = split_batch(features_from_raw(raw))
+    pos = jnp.asarray(positions_from_inputs(jnp.asarray(x_in), box=32.0))[0]
+    mesh = make_mesh(data=1, particle=4)
+    pos_sh = jax.device_put(pos, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("particle", None)))
+    i_sort = np.asarray(knn_lattice_sharded(pos_sh, 6, cells, mesh, window=2))
+    i_pal = np.asarray(knn_lattice_sharded(pos_sh, 6, cells, mesh, window=2,
+                                           select="pallas"))
+    np.testing.assert_array_equal(i_pal, i_sort)
