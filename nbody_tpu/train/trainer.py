@@ -118,7 +118,24 @@ class Trainer:
             from nbody_tpu.parallel.mesh import make_mesh
             mesh_for_model = make_mesh(data=tcfg.data_axis,
                                        particle=tcfg.particle_axis)
-        self.model = build_model(cfg.model, box=box, mesh=mesh_for_model)
+        mcfg = cfg.model
+        if (getattr(mcfg, "mask_dtype", "auto") != "auto"
+                and mesh_for_model is None
+                and (tcfg.data_axis > 1 or tcfg.particle_axis > 1
+                     or (tcfg.ensemble or 0) > 1)):
+            # ensemble / data-axis-only runs build without a mesh, so the
+            # registry's GSPMD guard cannot see the sharding — downgrade
+            # here for the same reason (a pallas_call is opaque to GSPMD
+            # and would gather its operands to every device)
+            import dataclasses
+            import logging
+            logging.getLogger(__name__).warning(
+                "mask_dtype=%s downgraded to 'auto': the %s step runs "
+                "under GSPMD, where the Pallas mask kernels cannot be "
+                "partitioned", mcfg.mask_dtype,
+                "ensemble" if (tcfg.ensemble or 0) > 1 else "sharded")
+            mcfg = dataclasses.replace(mcfg, mask_dtype="auto")
+        self.model = build_model(mcfg, box=box, mesh=mesh_for_model)
         self.optimizer = optax.adam(cfg.train.learn_rate)
         self.state = init_train_state(self.model, self.optimizer, cfg.model.seed)
         self.ensemble = int(tcfg.ensemble or 0)

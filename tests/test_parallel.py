@@ -277,3 +277,26 @@ def test_halo_knn_pallas_select_matches_sort():
     i_pal = np.asarray(knn_lattice_sharded(pos_sh, 6, cells, mesh, window=2,
                                            select="pallas"))
     np.testing.assert_array_equal(i_pal, i_sort)
+
+
+def test_trainer_downgrades_mask_dtype_for_ensemble():
+    """Ensemble (and data-axis-only) Trainer runs build without a mesh, so
+    the registry guard can't see the sharding — the Trainer itself must
+    downgrade non-auto mask dtypes before GSPMD wraps the step."""
+    from nbody_tpu.train.trainer import Trainer
+    cfg = C.Config(
+        data=C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                          cells_per_side=8, synthetic_num_samples=12),
+        model=C.ModelConfig(family="shiftinv", channels=(3, 8, 3),
+                            k_neighbors=4, knn_window=2, dtype="float32",
+                            neighbor_impl="masked", mask_dtype="index",
+                            seed=1),
+        train=C.TrainConfig(num_iters=4, batch_size=2, learn_rate=1e-3,
+                            checkpoint_every=4, ensemble=2))
+    t = Trainer(cfg)
+    t.fit()
+    rec = t.model.impl_record
+    assert rec["mask_dtype"] == "float32"
+    # the TRAINER replaced the config before the build (had it not, the
+    # registry's f32 guard would have recorded the original request)
+    assert "mask_dtype_requested" not in rec
