@@ -23,6 +23,10 @@ run() {
 
 B="python scripts/bench_step.py --platform default"
 
+# 0. SECURE THE OFFICIAL NUMBER FIRST: bench.py on the known-good XLA-only
+#    config, before any Pallas remote compile gets a chance to wedge the
+#    relay (the round-3 failure mode).  Re-run at the end on the winner.
+run bench_py_early 1500 python bench.py
 # 1. headline re-measure: post-self-slot-drop masked step (predicted
 #    ~172 ms / >=760k pps at 32^3 b4 K14; PERF.md round-3 traffic model)
 run headline_shiftinv 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan 10
@@ -39,6 +43,14 @@ run headline_noknn 700 $B --family shiftinv --cells 32 -b 4 --impl masked --scan
 # 5. step decomposition for the efficiency plan (VERDICT #5): mask-pass
 #    chain vs matmul twin vs full step
 run profile_decomp 1500 python scripts/profile_step4.py --platform default
+# 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
+#    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
+#    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain
+#    coverage counts and saves the trajectory cube.  XLA-only, so it runs
+#    BEFORE the Pallas section (whose remote compiles can wedge the relay)
+run rollout_32 2400 python -m nbody_tpu.cli.rollout --steps 4 -i 150 -b 4 \
+    --cells 32 --synthetic -k 14 -t 4 -n r4chain
+# ---- Pallas section below: kernel compiles are the relay-wedge risk ----
 run profile_decomp_idx 1500 python scripts/profile_step4.py --platform default --mask_dtype index
 # 5b. the targeted fix: int8 masks via the Pallas mask-dot kernels (half
 #     the mask HBM bytes, the step's dominant traffic).  Sweep the
@@ -66,12 +78,6 @@ run headline_idx_iter 700 $B --family shiftinv --cells 32 -b 4 --impl masked --m
 run headline_iter 700 $B --family shiftinv --cells 32 -b 4 --impl masked --knn_select iter --scan 10
 run headline_idx_ktop 700 $B --family shiftinv --cells 32 -b 4 --impl masked --mask_dtype index --knn_select pallas --scan 10
 run knn_micro 900 python scripts/bench_knn.py --platform default --cells 32 -b 4
-# 6. rollout at scale (VERDICT #6 / BASELINE.json config 3): 32^3 chain of
-#    4 redshift pairs through cli/rollout.py — trains 4 per-pair models,
-#    then ONE jitted lax.scan rollout; reports per-step MSE + in-chain
-#    coverage counts and saves the trajectory cube
-run rollout_32 2400 python -m nbody_tpu.cli.rollout --steps 4 -i 150 -b 4 \
-    --cells 32 --synthetic -k 14 -t 4 -n r4chain
 # 7. record the fastest measured headline config for bench.py to adopt
 #    (BENCH_WINNER.json — the driver's end-of-round bench then runs it)
 python scripts/pick_winner.py "$OUT" >> "$OUT" 2>>"$OUT.err"
