@@ -13,14 +13,17 @@ PBC-kNN per step + jitted CPU network step, 22.75 s/step on this machine.
 Schedule (probe-first, VERDICT r3 #1 — a number must land inside the
 driver budget even when the axon tunnel relay is dead, the round-3
 failure mode):
-  1. 90 s tiny-jit PROBE in a subprocess (one-element fetch barrier).
+  1. 150 s tiny-jit PROBE in a subprocess (one-element fetch barrier);
+     a DEAD reading is re-probed once after a 45 s settle (a previous
+     process's chip teardown overlapping the probe reads as a false
+     hang — CLAUDE.md fact 9).
   2. live  -> full TPU measurement (540 s cap); on a timeout, re-probe
      before the single retry — a dead re-probe goes straight to 3.
   3. dead  -> CPU fallback at 16^3 (measured ~2.5 min wall on this
      machine), honestly labeled, scored against the 16^3 CPU reference
      denominator.
-Worst-case wall: dead tunnel ~9 min; live-but-hanging ~27 min; the
-common paths are ~6 min (live) and ~5 min (dead).
+Worst-case wall: dead tunnel ~14 min; live-but-hanging ~28 min; the
+common paths are ~6 min (live) and ~8 min (dead).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N}
@@ -47,7 +50,7 @@ K = 14
 # them via env so a dead-tunnel round still records a number in minutes
 WARMUP = int(os.environ.get("NBODY_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("NBODY_BENCH_ITERS", "10"))
-PROBE_TIMEOUT = int(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "90"))
+PROBE_TIMEOUT = int(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "150"))
 TPU_TIMEOUT = int(os.environ.get("NBODY_BENCH_TPU_TIMEOUT", "540"))
 FALLBACK_TIMEOUT = int(os.environ.get("NBODY_BENCH_FALLBACK_TIMEOUT", "480"))
 FALLBACK_CELLS = int(os.environ.get("NBODY_BENCH_FALLBACK_CELLS", "16"))
@@ -265,7 +268,17 @@ def main():
     metric = f"train_step_throughput_shiftinv_{CELLS}c_k14_b4"
     pps = secs = None
     cells = CELLS
-    if tunnel_alive():
+    # a single DEAD reading can be a false negative: a previous process's
+    # chip teardown overlapping the probe reads as a hang (CLAUDE.md fact
+    # 9, observed in the round-4 queue's first bench run).  Settle 45 s
+    # and probe once more before accepting "dead".
+    alive = tunnel_alive()
+    if not alive and not os.environ.get("NBODY_BENCH_SIMULATE_DEAD_TUNNEL"):
+        print("# probe DEAD; settling 45 s and re-probing once "
+              "(teardown-contention false negatives)", file=sys.stderr)
+        time.sleep(45)
+        alive = tunnel_alive()
+    if alive:
         # the probe subprocess's device teardown must finish before the
         # measurement attaches, or the run reads as falsely hung (fact 9)
         time.sleep(20)
