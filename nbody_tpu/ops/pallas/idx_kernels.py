@@ -44,18 +44,18 @@ def _onehot_t(pos: jnp.ndarray, p_size: int) -> jnp.ndarray:
 
 
 def _idx_gather_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
-    # p (1, g, ET) int32, v (1, g, P, C) bf16 -> o (1, g, ET, C) f32
+    # p (1, 1, g, ET) int32, v (1, g, P, C) bf16 -> o (1, g, ET, C) f32
     for i in range(g):
-        oht = _onehot_t(p_ref[0, i], p_size)
+        oht = _onehot_t(p_ref[0, 0, i], p_size)
         o_ref[0, i] = jax.lax.dot_general(
             oht, v_ref[0, i], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
 def _idx_scatter_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
-    # p (1, g, ET) int32, v (1, g, ET, C) bf16 -> o (1, g, P, C) f32
+    # p (1, 1, g, ET) int32, v (1, g, ET, C) bf16 -> o (1, g, P, C) f32
     for i in range(g):
-        oht = _onehot_t(p_ref[0, i], p_size)
+        oht = _onehot_t(p_ref[0, 0, i], p_size)
         o_ref[0, i] = jnp.dot(oht, v_ref[0, i],
                               preferred_element_type=jnp.float32)
 
@@ -72,11 +72,16 @@ def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
         interpret = jax.default_backend() == "cpu"
     g = _pick_group(nb, group)
     kernel = _idx_scatter_kernel if transpose else _idx_gather_kernel
+    # Mosaic needs the last two block dims divisible by (8, 128) or equal
+    # to the array dims; a (1, g, ET) block fails on the sublane dim for
+    # g < 8, so stage the positions as (B, NB//g, g, ET) — the (1,1,g,ET)
+    # block's trailing dims then EQUAL the array dims.
+    pos4 = pos.reshape(b, nb // g, g, et)
     return pl.pallas_call(
         functools.partial(kernel, g=g, p_size=p_size),
         grid=(b, nb // g),
         in_specs=[
-            pl.BlockSpec((1, g, et), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, 1, g, et), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, vals.shape[2], c), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -86,7 +91,7 @@ def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
         out_shape=jax.ShapeDtypeStruct((b, nb, out_rows, c), jnp.float32),
         compiler_params=_vmem_params(),
         interpret=interpret,
-    )(pos, vals)
+    )(pos4, vals)
 
 
 # The two directions are each other's transpose against the SAME positions
