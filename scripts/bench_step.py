@@ -187,7 +187,7 @@ def main():
         "window": args.window, "impl": args.impl, "remat": args.remat,
         "dtype": args.dtype, "core": args.core, "no_knn": args.no_knn,
         "mask_dtype": args.mask_dtype, "group": args.group,
-        "scan": args.scan,
+        "knn_select": args.knn_select, "scan": args.scan,
         "step_ms": round(sec * 1e3, 1),
         "pps": round(b * n / sec, 1),
         "compile_s": round(compile_s, 1),
