@@ -142,30 +142,33 @@ def main():
     cvals = jax.random.normal(jax.random.PRNGKey(0),
                               (b, n, 64), jnp.bfloat16)
 
-    def one_chain(v):
-        h = blocked.masked_gather_blocks(v, masks, cells, w, core=core,
+    def one_chain(v, m):
+        h = blocked.masked_gather_blocks(v, m, cells, w, core=core,
                                          self_slot0=True)   # 1 pass
         for _ in range((L_PASSES - 2) // 2):
-            s = blocked.masked_scatter_add_blocks(h, masks, cells, w,
+            s = blocked.masked_scatter_add_blocks(h, m, cells, w,
                                                   core=core, self_slot0=True)
             h = blocked.masked_gather_blocks(
-                s * (1.0 / k), masks, cells, w, core=core, self_slot0=True)
-        return blocked.masked_scatter_add_blocks(h, masks, cells, w,
+                s * (1.0 / k), m, cells, w, core=core, self_slot0=True)
+        return blocked.masked_scatter_add_blocks(h, m, cells, w,
                                                  core=core, self_slot0=True)
 
     @jax.jit
-    def chain_scanned(v0):
+    def chain_scanned(v0, m):
         # a true sequential chain: each scan iteration consumes the
         # previous output, so XLA cannot CSE/hoist the mask passes —
-        # one dispatch for scan x L_PASSES passes, like the train scan
+        # one dispatch for scan x L_PASSES passes, like the train scan.
+        # m MUST be an argument, not a closure: jit embeds closed-over
+        # device arrays as program constants, and the GB-scale one-hot
+        # blew the remote compiler's request-size cap (HTTP 413).
         def body(v, _):
-            out = one_chain(v)
+            out = one_chain(v, m)
             return out * (1.0 / k), jnp.sum(out, dtype=jnp.float32) * 1e-9
         _, sums = jax.lax.scan(body, v0, None, length=args.scan)
         return sums
 
     def chain_step():
-        return chain_scanned(cvals)
+        return chain_scanned(cvals, masks)
     timed(f"B_mask_chain_{L_PASSES}_passes", chain_step)
 
     # ---- C: matmul/activation twin (zero mask passes) -------------------
