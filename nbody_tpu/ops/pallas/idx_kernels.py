@@ -37,19 +37,41 @@ from nbody_tpu.ops.pallas.mask_kernels import (_float0_zeros, _pick_group,
                                                _vmem_params)
 
 
+import os
+
+# gather-kernel one-hot synthesis orientation ("t" transposed / "nt" not):
+# "t" synthesizes (P, ET) — positions stay lane-oriented, but the MXU dot
+# contracts lhs dim 0, which Mosaic may realize as a per-block transpose of
+# the ~MB one-hot tile; "nt" synthesizes (ET, P) directly — the positions
+# vector pays a lane->sublane relayout (ET*4 bytes, trivial) and the dot is
+# the standard (ET,P)x(P,C) orientation.  Swept on chip; env overrides.
+IDX_SYNTH = os.environ.get("NBODY_IDX_SYNTH", "t")
+
+
 def _onehot_t(pos: jnp.ndarray, p_size: int) -> jnp.ndarray:
     """(ET,) int32 positions -> transposed one-hot (P, ET) bf16 in VMEM."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (p_size, pos.shape[0]), 0)
     return (lanes == pos[None, :]).astype(jnp.bfloat16)
 
 
+def _onehot_nt(pos: jnp.ndarray, p_size: int) -> jnp.ndarray:
+    """(ET,) int32 positions -> one-hot (ET, P) bf16 in VMEM."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pos.shape[0], p_size), 1)
+    return (lanes == pos[:, None]).astype(jnp.bfloat16)
+
+
 def _idx_gather_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
     # p (1, 1, g, ET) int32, v (1, g, P, C) bf16 -> o (1, g, ET, C) f32
     for i in range(g):
-        oht = _onehot_t(p_ref[0, 0, i], p_size)
-        o_ref[0, i] = jax.lax.dot_general(
-            oht, v_ref[0, i], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if IDX_SYNTH == "nt":
+            oh = _onehot_nt(p_ref[0, 0, i], p_size)
+            o_ref[0, i] = jnp.dot(oh, v_ref[0, i],
+                                  preferred_element_type=jnp.float32)
+        else:
+            oht = _onehot_t(p_ref[0, 0, i], p_size)
+            o_ref[0, i] = jax.lax.dot_general(
+                oht, v_ref[0, i], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _idx_scatter_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
