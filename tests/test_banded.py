@@ -409,6 +409,38 @@ def test_masked_int8_model_matches_bf16_masks():
                                    rtol=5e-2, atol=5e-3, err_msg=mdt)
 
 
+def test_idx_dot_nt_synthesis_matches_t():
+    """The idx-dot gather's two one-hot synthesis orientations
+    (NBODY_IDX_SYNTH 't'/'nt', chip-swept) are numerically identical:
+    gather == direct indexing and the VJP scatter degree check holds
+    under 'nt' too (idx_kernels._onehot_nt + standard-orientation dot)."""
+    from nbody_tpu.ops.pallas import idx_kernels as IK
+
+    B2, NB, ET, P, C2 = 2, 4, 40, 24, 8
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.integers(0, P, (B2, NB, ET)), jnp.int32)
+    pat = jnp.asarray(rng.standard_normal((B2, NB, P, C2)).astype(np.float32)
+                      ).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray(IK.idx_dot_gather(pos, pat))
+    old = IK.IDX_SYNTH
+    IK.IDX_SYNTH = "nt"
+    try:
+        out = np.asarray(IK.idx_dot_gather(pos, pat))
+        np.testing.assert_array_equal(out, ref)
+        direct = np.take_along_axis(np.asarray(pat),
+                                    np.asarray(pos)[..., None], 2)
+        np.testing.assert_array_equal(out, direct)
+        # VJP under 'nt': d(sum gather)/d(patches)[p] == in-degree of p
+        grad = jax.grad(lambda v: jnp.sum(IK.idx_dot_gather(pos, v)))(pat)
+        deg = np.zeros((B2, NB, P), np.float32)
+        for b in range(B2):
+            for nb in range(NB):
+                np.add.at(deg[b, nb], np.asarray(pos)[b, nb], 1.0)
+        np.testing.assert_allclose(np.asarray(grad)[..., 0], deg, atol=1e-4)
+    finally:
+        IK.IDX_SYNTH = old
+
+
 def test_masked_index_shiftinv15_matches_auto():
     """The mask-free idx-dot path under the 15-op family: its fused wide
     gathers contract at K*C-wide channel dims through the same kernels —
