@@ -248,6 +248,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
              "less mask HBM traffic); index = mask-free idx-dot path (the "
              "one-hot is synthesized in VMEM; bf16 MXU dots)")
+    adg("--remat", action="store_true",
+        help="Rematerialize graph layers in backward (jax.checkpoint): "
+             "trades FLOPs for HBM so 64^3 cubes fit on one chip")
     adg("--knn_select", type=str, default="sort",
         choices=["sort", "iter", "pallas"],
         help="Lattice kNN k-selection: top_k sort, k argmin passes, or the "
@@ -322,6 +325,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         masked_core=(tuple(args.masked_core) if args.masked_core else None),
         mask_dtype=args.mask_dtype,
         knn_select=args.knn_select,
+        remat=args.remat,
         dtype=args.dtype)
     train = TrainConfig(
         num_iters=args.num_iters,
