@@ -93,6 +93,16 @@ def test_random_model_tag_format():
     assert all(p in C.MODEL_TAGLIST for p in parts)
 
 
+def test_cli_remat_flag_reaches_model_config():
+    """--remat (the 64^3 single-chip path) plumbs into ModelConfig.remat
+    and defaults off."""
+    parser = C.build_parser()
+    cfg = C.config_from_args(parser.parse_args(["--remat"]))
+    assert cfg.model.remat is True
+    cfg = C.config_from_args(parser.parse_args([]))
+    assert cfg.model.remat is False
+
+
 def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
     from nbody_tpu.cli import train as cli_train
     monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
