@@ -78,3 +78,13 @@ def test_queue_entry_parses(tag, cmd):
         assert argv == []
     else:
         pytest.fail(f"queue entry {tag} runs unknown program {prog}")
+
+
+def test_bench_fused_parser():
+    """scripts/bench_fused.py (the round-5 ledger measurement) parses its
+    production invocation."""
+    import bench_fused
+    args = _parse_with(bench_fused.build_parser(),
+                       ["--cells", "32", "--batch", "4", "--k", "14",
+                        "--channels", "32", "--passes", "10"])
+    assert (args.cells, args.batch, args.k) == (32, 4, 14)
