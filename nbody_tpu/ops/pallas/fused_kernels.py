@@ -46,7 +46,11 @@ def _fused_kernel(m_ref, p_ref, a_ref, w1_ref, w2_ref,
     #                   s (1, g, P, q) f32
     for i in range(g):
         m = m_ref[0, i]                                    # ONE mask read
-        e = jnp.dot(m, p_ref[0, i],
+        # patches cast to the mask dtype INSIDE VMEM — the same operand
+        # dtype pairing as boundary_reference's gather einsum, so the
+        # exactness contract holds for bf16 masks x f32 patches too
+        # (ADVICE r4)
+        e = jnp.dot(m, p_ref[0, i].astype(m.dtype),
                     preferred_element_type=jnp.float32)
         e = act(e + a_ref[0, i].astype(jnp.float32))
         act_ref[0, i] = e.astype(act_ref.dtype)

@@ -44,7 +44,12 @@ import os
 # contracts lhs dim 0, which Mosaic may realize as a per-block transpose of
 # the ~MB one-hot tile; "nt" synthesizes (ET, P) directly — the positions
 # vector pays a lane->sublane relayout (ET*4 bytes, trivial) and the dot is
-# the standard (ET,P)x(P,C) orientation.  Swept on chip; env overrides.
+# the standard (ET,P)x(P,C) orientation.  Measured on chip round 4:
+# orientation is noise (233.8 vs 232.5 ms) — the serialized VPU synthesis,
+# not the relayout, is the cost.  The env var / module global only sets the
+# DEFAULT; the orientation is threaded through the call chain as an
+# explicit, trace-visible parameter (ADVICE r4: an env read consulted at
+# trace time silently ignores post-trace flips).
 IDX_SYNTH = os.environ.get("NBODY_IDX_SYNTH", "t")
 
 
@@ -60,10 +65,11 @@ def _onehot_nt(pos: jnp.ndarray, p_size: int) -> jnp.ndarray:
     return (lanes == pos[:, None]).astype(jnp.bfloat16)
 
 
-def _idx_gather_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
+def _idx_gather_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int,
+                       synth: str):
     # p (1, 1, g, ET) int32, v (1, g, P, C) bf16 -> o (1, g, ET, C) f32
     for i in range(g):
-        if IDX_SYNTH == "nt":
+        if synth == "nt":
             oh = _onehot_nt(p_ref[0, 0, i], p_size)
             o_ref[0, i] = jnp.dot(oh, v_ref[0, i],
                                   preferred_element_type=jnp.float32)
@@ -84,7 +90,8 @@ def _idx_scatter_kernel(p_ref, v_ref, o_ref, *, g: int, p_size: int):
 
 def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
                   p_size: int, group=None,
-                  interpret: bool | None = None) -> jnp.ndarray:
+                  interpret: bool | None = None,
+                  synth: str = "t") -> jnp.ndarray:
     """pos (B, NB, ET) int32; vals (B, NB, P, C) [gather] or (B, NB, ET, C)
     [scatter=transpose]; returns f32 (B, NB, ET|P, C)."""
     b, nb, et = pos.shape
@@ -93,7 +100,8 @@ def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     g = _pick_group(nb, group)
-    kernel = _idx_scatter_kernel if transpose else _idx_gather_kernel
+    kernel = (_idx_scatter_kernel if transpose
+              else functools.partial(_idx_gather_kernel, synth=synth))
     # Mosaic needs the last two block dims divisible by (8, 128) or equal
     # to the array dims; a (1, g, ET) block fails on the sublane dim for
     # g < 8, so stage the positions as (B, NB//g, g, ET) — the (1,1,g,ET)
@@ -124,11 +132,11 @@ def _idx_dot_call(pos: jnp.ndarray, vals: jnp.ndarray, transpose: bool,
 # built per p_size and cached.
 
 @functools.lru_cache(maxsize=None)
-def _idx_pair(p_size: int):
+def _idx_pair(p_size: int, synth: str = "t"):
     @jax.custom_vjp
     def gather(pos, patches):
         return _idx_dot_call(pos, patches.astype(jnp.bfloat16),
-                             transpose=False, p_size=p_size)
+                             transpose=False, p_size=p_size, synth=synth)
 
     @jax.custom_vjp
     def scatter(pos, edges):
@@ -150,7 +158,7 @@ def _idx_pair(p_size: int):
     def s_bwd(res, ct):
         pos, edt = res
         d = _idx_dot_call(pos, ct.astype(jnp.bfloat16), transpose=False,
-                          p_size=p_size)
+                          p_size=p_size, synth=synth)
         return _float0_zeros(pos), d.astype(edt.dtype)
 
     gather.defvjp(g_fwd, g_bwd)
@@ -158,14 +166,19 @@ def _idx_pair(p_size: int):
     return gather, scatter
 
 
-def idx_dot_gather(pos: jnp.ndarray, patches: jnp.ndarray) -> jnp.ndarray:
+def idx_dot_gather(pos: jnp.ndarray, patches: jnp.ndarray,
+                   synth: str | None = None) -> jnp.ndarray:
     """(B, NB, ET) int32 patch positions x (B, NB, P, C) -> (B, NB, ET, C)
-    f32 — the masked gather with the one-hot synthesized in VMEM."""
-    return _idx_pair(patches.shape[2])[0](pos, patches)
+    f32 — the masked gather with the one-hot synthesized in VMEM.
+
+    synth: one-hot synthesis orientation ("t"/"nt"), trace-visible; None
+    falls back to the module default (IDX_SYNTH / NBODY_IDX_SYNTH)."""
+    return _idx_pair(patches.shape[2], synth or IDX_SYNTH)[0](pos, patches)
 
 
 def idx_dot_scatter(pos: jnp.ndarray, edges: jnp.ndarray,
-                    p_size: int) -> jnp.ndarray:
+                    p_size: int, synth: str | None = None) -> jnp.ndarray:
     """(B, NB, ET) int32 x (B, NB, ET, C) -> (B, NB, P, C) f32 per-block
-    accumulations (caller overlap-adds via blocked.patches_fold)."""
-    return _idx_pair(p_size)[1](pos, edges)
+    accumulations (caller overlap-adds via blocked.patches_fold).  synth
+    picks the BACKWARD (gather) kernel's synthesis orientation."""
+    return _idx_pair(p_size, synth or IDX_SYNTH)[1](pos, edges)

@@ -11,6 +11,7 @@
 #      one-hot tile per block, explaining the flat ~232 ms idx floor).
 #   4. pick_winner + bench.py refresh if anything won.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/round4_queue.jsonl}
 

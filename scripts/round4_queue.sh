@@ -9,6 +9,7 @@
 # chip; a probe during teardown reads as a false hang), and a failed run
 # does not stop the queue.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/round4_queue.jsonl}
 : > "$OUT"

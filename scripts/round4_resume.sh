@@ -15,6 +15,7 @@
 #      leftover int8 entries (int8 measured SLOWER than the XLA bf16
 #      einsum — 268 vs 171 ms — so these are for-the-record).
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/round4_queue.jsonl}
 

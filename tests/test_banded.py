@@ -422,23 +422,21 @@ def test_idx_dot_nt_synthesis_matches_t():
     pat = jnp.asarray(rng.standard_normal((B2, NB, P, C2)).astype(np.float32)
                       ).astype(jnp.bfloat16).astype(jnp.float32)
     ref = np.asarray(IK.idx_dot_gather(pos, pat))
-    old = IK.IDX_SYNTH
-    IK.IDX_SYNTH = "nt"
-    try:
-        out = np.asarray(IK.idx_dot_gather(pos, pat))
-        np.testing.assert_array_equal(out, ref)
-        direct = np.take_along_axis(np.asarray(pat),
-                                    np.asarray(pos)[..., None], 2)
-        np.testing.assert_array_equal(out, direct)
-        # VJP under 'nt': d(sum gather)/d(patches)[p] == in-degree of p
-        grad = jax.grad(lambda v: jnp.sum(IK.idx_dot_gather(pos, v)))(pat)
-        deg = np.zeros((B2, NB, P), np.float32)
-        for b in range(B2):
-            for nb in range(NB):
-                np.add.at(deg[b, nb], np.asarray(pos)[b, nb], 1.0)
-        np.testing.assert_allclose(np.asarray(grad)[..., 0], deg, atol=1e-4)
-    finally:
-        IK.IDX_SYNTH = old
+    # 'nt' is an explicit, trace-visible parameter (ADVICE r4) — no module
+    # globals to mutate
+    out = np.asarray(IK.idx_dot_gather(pos, pat, synth="nt"))
+    np.testing.assert_array_equal(out, ref)
+    direct = np.take_along_axis(np.asarray(pat),
+                                np.asarray(pos)[..., None], 2)
+    np.testing.assert_array_equal(out, direct)
+    # VJP under 'nt': d(sum gather)/d(patches)[p] == in-degree of p
+    grad = jax.grad(
+        lambda v: jnp.sum(IK.idx_dot_gather(pos, v, synth="nt")))(pat)
+    deg = np.zeros((B2, NB, P), np.float32)
+    for b in range(B2):
+        for nb in range(NB):
+            np.add.at(deg[b, nb], np.asarray(pos)[b, nb], 1.0)
+    np.testing.assert_allclose(np.asarray(grad)[..., 0], deg, atol=1e-4)
 
 
 def test_masked_index_shiftinv15_matches_auto():

@@ -1,8 +1,9 @@
 """The chip measurement queue runs unattended behind the tunnel-wait loop
 (scripts/wait_and_run_queue.sh) — a flag typo in any entry would only
 surface hours later on the real chip.  This dry-parses every command in
-scripts/round4_queue.sh against the ACTUAL parsers, with parse errors
-turned into test failures."""
+EVERY scripts/round*_*.sh queue script against the ACTUAL parsers, with
+parse errors turned into test failures (ADVICE r4: the round-4 version
+only covered round4_queue.sh, leaving resume/followup edits unprotected)."""
 
 import re
 import shlex
@@ -15,23 +16,38 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 sys.path.insert(0, str(REPO))
 
+_ENV_ASSIGN = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*=")
+
 
 def _queue_commands():
-    text = (REPO / "scripts" / "round4_queue.sh").read_text()
-    # join continuation lines, then collect `run <tag> <timeout> <cmd...>`
-    text = text.replace("\\\n", " ")
     cmds = []
-    for line in text.splitlines():
-        line = line.strip()
-        if not line.startswith("run "):
-            continue
-        parts = shlex.split(line)
-        tag, cmd = parts[1], parts[3:]
-        # expand the $B shorthand used by the queue
-        if cmd and cmd[0] == "$B":
-            cmd = ["python", "scripts/bench_step.py", "--platform",
-                   "default"] + cmd[1:]
-        cmds.append((tag, cmd))
+    for script in sorted((REPO / "scripts").glob("round*_*.sh")):
+        # join continuation lines, then collect `run <tag> <timeout> <cmd...>`
+        text = script.read_text().replace("\\\n", " ")
+        # simple NAME="..." shell variables used as command shorthands
+        shellvars = {m.group(1): shlex.split(m.group(2)) for m in
+                     re.finditer(r'^([A-Z][A-Z0-9_]*)="([^"]*)"$', text,
+                                 re.MULTILINE)}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("run "):
+                continue
+            parts = shlex.split(line)
+            tag, cmd = parts[1], parts[3:]
+            # strip a leading `env VAR=... [VAR=...]` prefix
+            if cmd and cmd[0] == "env":
+                cmd = cmd[1:]
+                while cmd and _ENV_ASSIGN.match(cmd[0]):
+                    cmd = cmd[1:]
+            # expand $NAME shorthands ($B = bench_step, $Q = shared flags)
+            expanded = []
+            for tok in cmd:
+                if tok.startswith("$") and tok[1:] in shellvars:
+                    expanded.extend(shellvars[tok[1:]])
+                else:
+                    expanded.append(tok)
+            cmd = expanded
+            cmds.append((f"{script.stem}:{tag}", cmd))
     assert len(cmds) >= 20, "queue parsing found suspiciously few commands"
     return cmds
 
@@ -63,17 +79,35 @@ def test_queue_entry_parses(tag, cmd):
     elif prog == "scripts/profile_step4.py":
         import profile_step4
         _parse_with(profile_step4.build_parser(), argv)
+    elif prog == "scripts/profile_step15.py":
+        import profile_step15
+        args = _parse_with(profile_step15.build_parser(), argv)
+        assert set(args.impls) <= {"gather", "scatter"}
+    elif prog == "scripts/stencil_stats.py":
+        import stencil_stats
+        _parse_with(stencil_stats.build_parser(), argv)
     elif prog == "scripts/bench_knn.py":
         import bench_knn
         args = _parse_with(bench_knn.build_parser(), argv)
         assert set(args.variants) <= {"sort", "iter", "pallas"}
     elif prog == "-m":
-        # python -m nbody_tpu.cli.rollout ...
         mod = cmd[2]
         argv = cmd[3:]
-        assert mod == "nbody_tpu.cli.rollout"
-        from nbody_tpu.cli.rollout import build_chain_parser
-        _parse_with(build_chain_parser(), argv)
+        if mod == "nbody_tpu.cli.rollout":
+            from nbody_tpu.cli.rollout import build_chain_parser
+            _parse_with(build_chain_parser(), argv)
+        elif mod == "nbody_tpu.cli.train":
+            from nbody_tpu import config as C
+            _parse_with(C.build_parser(), argv)
+        elif mod == "nbody_tpu.cli.eval":
+            # the eval CLI adds --plot on top of the shared parser
+            from nbody_tpu import config as C
+            p = C.build_parser()
+            p.add_argument("--plot", type=str, default="")
+            args = _parse_with(p, argv)
+            assert args.name, "eval entries must pass -n"
+        else:
+            pytest.fail(f"queue entry {tag} runs unknown module {mod}")
     elif prog == "bench.py":
         assert argv == []
     else:
