@@ -99,13 +99,14 @@ def main(argv=None) -> int:
     ds0 = Dataset(cfg.data, raw=raws[0])
     ntest = ds0.X_test.shape[0]
     x0, _ = split_batch(jnp.asarray(ds0.X_test))
-    truth = []
+    truth, hop_za = [], []
     disp = x0[..., 3:6]
     for t in range(steps):
         dst = Dataset(cfg.data, raw=raws[t])
-        _, y = split_batch(jnp.asarray(dst.X_test[:ntest]))
+        xt, y = split_batch(jnp.asarray(dst.X_test[:ntest]))
         disp = disp + y[..., :3]
         truth.append(disp)
+        hop_za.append(xt[..., 3:6])    # hop t's ZA field (velocity proxy)
     truth = jnp.stack(truth)
 
     final, traj = rollout(stacked, x0)
@@ -118,16 +119,39 @@ def main(argv=None) -> int:
                   f"(per-step counts {cov_counts.tolist()}) — displacement "
                   "growth exceeds the search window; increase knn_window.")
     per_step_mse = np.asarray(jax.vmap(loss_za)(traj, truth))
-    print("\nRollout position MSE per chain step:")
+    # per-hop linear-velocity baseline (reference plot_multiStep_comp,
+    # visualization/plot_eval.py:210-246): hop t starts from the TRUE state
+    # at t-1 and moves by a least-squares-fitted multiple of the hop's ZA
+    # field (the linear-theory velocity proxy) — the model's per-hop
+    # medians must beat this for the chain to carry real signal
+    from nbody_tpu.viz.plot_eval import calculate_timestep, l2_dist
+    truth_np, traj_np = np.asarray(truth), np.asarray(traj)
+    med_model, med_lin = [], []
+    for t in range(steps):
+        in_disp = np.asarray(x0[..., 3:6]) if t == 0 else truth_np[t - 1]
+        za_t = np.asarray(hop_za[t])
+        x_input = np.concatenate([in_disp, za_t], axis=-1)
+        t_fit = calculate_timestep(x_input, truth_np[t])
+        lin = in_disp + t_fit * za_t
+        med_lin.append(float(np.median(l2_dist(lin, truth_np[t]))))
+        med_model.append(float(np.median(l2_dist(traj_np[t], truth_np[t]))))
+    print("\nRollout per chain step: position MSE, median L2 "
+          "(model | linear-velocity baseline):")
     for t, m in enumerate(per_step_mse):
+        beat = "BEATS" if med_model[t] < med_lin[t] else "does NOT beat"
         print(f"  step {t} (z {C.REDSHIFTS[t]:.3f} -> {C.REDSHIFTS[t+1]:.3f})"
-              f" : {m:.6f}")
-    saver.save_cube(np.stack([np.asarray(truth), np.asarray(traj)]))
-    rec = {"rollout_mse": per_step_mse.tolist(), "steps": steps}
+              f" : mse {m:.6f} | med {med_model[t]:.6f} vs lin "
+              f"{med_lin[t]:.6f} ({beat} baseline)")
+    saver.save_cube(np.stack([truth_np, traj_np]))
+    rec = {"rollout_mse": per_step_mse.tolist(), "steps": steps,
+           "rollout_model_median_l2": med_model,
+           "rollout_linear_median_l2": med_lin}
     if cov_counts is not None:
         rec["coverage_margin_violations"] = cov_counts.tolist()
     saver.append_metrics(rec)
-    print(json.dumps({"rollout_final_mse": float(per_step_mse[-1])}))
+    print(json.dumps({"rollout_final_mse": float(per_step_mse[-1]),
+                      "rollout_model_median_l2": med_model,
+                      "rollout_linear_median_l2": med_lin}))
     return 0
 
 

@@ -255,6 +255,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["sort", "iter", "pallas"],
         help="Lattice kNN k-selection: top_k sort, k argmin passes, or the "
              "VMEM-resident Pallas selection kernel")
+    adg("--knn_window", type=int, default=3, metavar="W",
+        help="Lattice kNN search window in grid cells (2 is exact for "
+             "ZA-scale displacements and faster; the coverage guard "
+             "verifies either way)")
     adg("--dtype", type=str, default="float32",
         choices=["float32", "bfloat16"],
         help="Compute dtype for activations (params/optimizer stay f32; "
@@ -325,6 +329,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         masked_core=(tuple(args.masked_core) if args.masked_core else None),
         mask_dtype=args.mask_dtype,
         knn_select=args.knn_select,
+        knn_window=args.knn_window,
         remat=args.remat,
         dtype=args.dtype)
     train = TrainConfig(
