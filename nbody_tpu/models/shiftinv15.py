@@ -39,6 +39,34 @@ from nbody_tpu.models.base import init_network_params
 from nbody_tpu.ops.banded import neighbor_gather, neighbor_scatter_add
 from nbody_tpu.physics.pbc import min_image_diff
 
+# Masked-path transpose implementation (PERF.md round-5 ledger item 2 —
+# the 15-op family's K-wide pass payload):
+#   "gather"  — one K*C-wide row gather + a destination-side (K,K) one-hot
+#               contraction: writes the (b, NB, ET, K*C) wide edge tensor,
+#               re-reads it for the 14-slice contraction, and its VJP
+#               updates 14 slices of the wide cotangent.
+#   "scatter" — each mutual SOURCE edge (m, j) sends its value into the
+#               destination-slot channel group rev_pos[m, j] of ONE fused
+#               scatter (shared with the pool scatter: still 2 mask passes
+#               per layer).  Collision-free, hence exact: a destination
+#               (n, k') determines m = idx[n, k'], and m's slot pointing
+#               back at n is unique — at most one contributor.  The wide
+#               tensor is built once (K channel slices), never re-read for
+#               a contraction, and the x_col/x_row gather shrinks from
+#               K*C+2q wide to 2q wide.  Bit-identical to "gather" (each
+#               from_a entry is one value through one-hot dots both ways).
+# Swap with set_transpose_impl() BEFORE building/jitting a model (same
+# trace-time caveats as ops.blocked.set_core).
+import os as _os
+TRANSPOSE_IMPL = _os.environ.get("NBODY15_TRANSPOSE", "gather")
+
+
+def set_transpose_impl(impl: str):
+    """Swap the masked-path transpose implementation ("gather"/"scatter")."""
+    assert impl in ("gather", "scatter"), impl
+    global TRANSPOSE_IMPL
+    TRANSPOSE_IMPL = impl
+
 
 def init_shiftinv15_params(key: jax.Array, channels: Sequence[int],
                            dtype=jnp.float32):
@@ -292,21 +320,26 @@ def shift_inv_15op_layer(h: jnp.ndarray, graph: BlockSymGraph,
 
 def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
                                  masks, lattice, selB, mbB, deg, live,
-                                 is_last: bool) -> jnp.ndarray:
+                                 is_last: bool,
+                                 transpose_impl: str = "gather") -> jnp.ndarray:
     """15-op layer on BLOCK-MAJOR edges hB (b, 2, NB, R, K, C) via the
     shared masks — the masked-path twin of shift_inv_15op_layer.
 
     Traffic design (the family's fast path):
-      * exactly TWO mask passes forward — the fused s2 scatter and ONE
-        channel-concatenated gather carrying the transpose's K*C-wide rows
-        plus both broadcast fields (all three are linear; shared-mask
-        traffic is channel-independent) — the same count as a 4-op layer;
-      * edge tensors stay block-major across the whole network (the wide
-        gather's (b, N, K, K*C + 2q) output never reorders to cube; node
-        fields, which are K times smaller, hop layouts instead);
+      * exactly TWO mask passes forward — one fused scatter and one fused
+        gather (all the rides are linear; shared-mask traffic is
+        channel-independent) — the same count as a 4-op layer;
+      * edge tensors stay block-major across the whole network; node
+        fields, which are K times smaller, hop layouts instead;
       * the five diagonal contributions (ops 3, 6, 9, 11, 13 + diag bias)
         combine into ONE node field written to the diag slots — the cube
         layer materializes five full-size _at_dia tensors for them.
+
+    transpose_impl (module docstring at TRANSPOSE_IMPL): "gather" rides the
+    transpose's K*C-wide rows on the gather pass and contracts against
+    selB at the destination; "scatter" rides the source-side slot-sorted
+    values on the scatter pass (selB must then be the SOURCE selector,
+    masked by rev_exists — the network precomputes it).
     """
     from nbody_tpu.ops.blocked import (blocks_to_cube, cube_to_blocks,
                                        lattice_core, lattice_self_free,
@@ -328,11 +361,38 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
     def to_cube(xb):                     # (b, NB, R, C) -> (b, N, C)
         return blocks_to_cube(xb, cl, core)
 
-    # pools: both scatters fused (channel concat), block A sums free
+    pre_w = q < c_in
+    if pre_w:
+        # ops 1+2 share the edge-level matmul operand: one fused einsum
+        # against [W1|W2] streams the big edge tensor ONCE
+        o12 = mm(hB, jnp.concatenate([w[0], w[1]], axis=1))
+        out, hinB = o12[..., :q], o12[..., q:]
+    else:
+        out, hinB = mm(hB, w[0]), hB                    # 1 identity
+    cw = hinB.shape[-1]
+
     hbm = hB[:, 1] * mbB[..., None]
-    s2 = masked_scatter_add_blocks(
-        jnp.concatenate([hB[:, 0], hbm], axis=-1), masks, cl, win,
-        core=core, self_slot0=sf)                       # cube (b, N, 2C)
+    if transpose_impl == "scatter":
+        # transpose as a collision-free scatter: source edge (m, j) places
+        # hin_a[m, j] into destination-slot channel group rev_pos[m, j]
+        # (selB here = onehot(rev_pos) * rev_exists, source-side).  Built
+        # as K channel slices — a 6-D outer-product intermediate would
+        # invite pathological tile layouts on its tiny minor dims
+        # (CLAUDE.md platform fact 7).
+        hin_a = hinB[:, 0]
+        z = jnp.concatenate([hin_a * selB[..., kk, None] for kk in range(k)],
+                            axis=-1)                    # (b, NB, R, K, K*cw)
+        s2z = masked_scatter_add_blocks(
+            jnp.concatenate([hB[:, 0], hbm, z], axis=-1), masks, cl, win,
+            core=core, self_slot0=sf)                   # cube (b,N,2C+K*cw)
+        s2 = s2z[..., :2 * c_in]
+        from_aB = cube_to_blocks(s2z[..., 2 * c_in:], cl, core).reshape(
+            bsz, nb, r, k, cw)
+    else:
+        # pools: both scatters fused (channel concat), block A sums free
+        s2 = masked_scatter_add_blocks(
+            jnp.concatenate([hB[:, 0], hbm], axis=-1), masks, cl, win,
+            core=core, self_slot0=sf)                   # cube (b, N, 2C)
     sum_a = to_cube(jnp.sum(hB[:, 0], axis=3))          # (b, N, C)
     sum_bm = to_cube(jnp.sum(hbm, axis=3))
     # pool divisions run against f32 deg/live (ADVICE r3: bf16 deg would
@@ -345,36 +405,36 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
            / live[:, None]).astype(dt)
     h_p = jnp.mean(h_d, axis=1)                         # (b, C)
 
-    # fused gather: transpose rows (2) + col-broadcast (4, 8, 14) +
-    # row-broadcast (5, 7, 15).  The transpose is an edge permutation and
-    # commutes with the channel matmul — apply W first when it shrinks.
+    # fused gather: col-broadcast (4, 8, 14) + row-broadcast (5, 7, 15),
+    # plus (gather impl only) the transpose's K*C-wide rows.  The
+    # transpose is an edge permutation and commutes with the channel
+    # matmul — apply W first when it shrinks.
     x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
     x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
-    pre_w = q < c_in
-    if pre_w:
-        # ops 1+2 share the edge-level matmul operand: one fused einsum
-        # against [W1|W2] streams the big edge tensor ONCE
-        o12 = mm(hB, jnp.concatenate([w[0], w[1]], axis=1))
-        out, hinB = o12[..., :q], o12[..., q:]
+    if transpose_impl == "scatter":
+        payload = jnp.concatenate([x_col, x_row], axis=-1)
+        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
+                                   self_slot0=sf)       # (b, NB, R, K, 2q)
+        taB = from_aB + hinB[:, 1] * mbB[..., None]
+        g_colB = ggB[..., :q]
+        g_rowB = ggB[..., q:]
     else:
-        out, hinB = mm(hB, w[0]), hB                    # 1 identity
-    cw = hinB.shape[-1]
-    payload = jnp.concatenate(
-        [to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw)), x_col, x_row],
-        axis=-1)
-    ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
-                               self_slot0=sf)           # (b, NB, R, K, W)
-    rows_wideB = ggB[..., :k * cw]
-    from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
-                  * selB[..., j, None] for j in range(k))
-    taB = from_aB * (1.0 - mbB)[..., None] + hinB[:, 1] * mbB[..., None]
+        payload = jnp.concatenate(
+            [to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw)), x_col, x_row],
+            axis=-1)
+        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
+                                   self_slot0=sf)       # (b, NB, R, K, W)
+        rows_wideB = ggB[..., :k * cw]
+        from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
+                      * selB[..., j, None] for j in range(k))
+        taB = from_aB * (1.0 - mbB)[..., None] + hinB[:, 1] * mbB[..., None]
+        g_colB = ggB[..., k * cw:k * cw + q]
+        g_rowB = ggB[..., k * cw + q:]
     tbB = hinB[:, 0] * mbB[..., None]
     tB = jnp.stack([taB, tbB], axis=1)
     if not pre_w:
         tB = mm(tB, w[1])
     out += tB                                           # 2 transpose
-    g_colB = ggB[..., k * cw:k * cw + q]
-    g_rowB = ggB[..., k * cw + q:]
     x_colB = cube_to_blocks(x_col, cl, core)
     x_rowB = cube_to_blocks(x_row, cl, core)
     out += jnp.stack([g_colB + x_rowB[:, :, :, None, :],
@@ -414,6 +474,12 @@ def _shiftinv15_network_blocks(params, edges: jnp.ndarray,
             bsz, n, k * k), cl, core).reshape(bsz, nb, r, k, k)
     mbB = cube_to_blocks(graph.mask_b.astype(edges.dtype)[..., None]
                          .reshape(bsz, n, k), cl, core)
+    timpl = TRANSPOSE_IMPL
+    if timpl == "scatter":
+        # source-side selector: a non-mutual edge's rev_pos is a bogus
+        # argmax(0) = 0 — masking by rev_exists keeps it from contaminating
+        # the destination's self group (see the layer docstring)
+        selB = selB * (1.0 - mbB)[..., None]
     # f32 regardless of compute dtype — see the pool divisions in the layer
     deg = graph.deg.astype(jnp.float32)
     live = jnp.sum(deg, axis=-1)
@@ -422,7 +488,8 @@ def _shiftinv15_network_blocks(params, edges: jnp.ndarray,
         is_last = i == num_layers - 1
         fn = functools.partial(_shift_inv_15op_layer_blocks, masks=masks,
                                lattice=lattice, selB=selB, mbB=mbB,
-                               deg=deg, live=live, is_last=is_last)
+                               deg=deg, live=live, is_last=is_last,
+                               transpose_impl=timpl)
         if remat:
             fn = jax.checkpoint(fn)
         hB = fn(hB, layer_params)

@@ -11,6 +11,7 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/round4_queue.jsonl}
 LOG=${2:-/tmp/wait_queue.log}
+QUEUE=${3:-scripts/round4_queue.sh}
 PROBE_GAP=${PROBE_GAP:-540}
 DEADLINE_S=${DEADLINE_S:-39600}   # 11 h
 START=$(date +%s)
@@ -26,7 +27,7 @@ while :; do
       | grep -q 'tunnel probe: OK'; then
     echo "PROBE_OK $(date -u +%FT%TZ)" >> "$LOG"
     sleep 30   # let the probe process's chip teardown finish
-    bash scripts/round4_queue.sh "$OUT" >> "$LOG" 2>&1
+    bash "$QUEUE" "$OUT" >> "$LOG" 2>&1
     echo "WAIT_DONE $(date -u +%FT%TZ)" >> "$LOG"
     exit 0
   fi

@@ -330,3 +330,51 @@ def test_shiftinv15_masked_matches_block():
         outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
     np.testing.assert_allclose(outs["masked"], outs["block"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_shiftinv15_scatter_transpose_matches_gather():
+    """Masked-path transpose_impl='scatter' (PERF round-5 ledger item 2:
+    source-side slot-sorted scatter, collision-free) matches 'gather'
+    (K*C-wide row gather + destination contraction): each from_a entry is
+    a single value routed through one-hot dots either way, so the paths
+    are mathematically identical — tolerances only cover XLA reassociating
+    f32 reductions under the forced 8-device CPU platform (measured ~2e-6
+    on single-device CPU the match is bit-exact).
+    Covers both pre_w branches (3->8 no, 8->8 no, 8->3 yes) and gradients.
+    """
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from nbody_tpu import config as C
+    from nbody_tpu.models import shiftinv15 as S15
+    from nbody_tpu.models.registry import build_model
+    from nbody_tpu.data.synthetic import synthetic_raw_cubes
+    from nbody_tpu.data.dataset import features_from_raw, split_batch
+
+    cells = 8
+    raw = synthetic_raw_cubes(num_samples=2, cells=cells, seed=13)
+    x_in, y = split_batch(features_from_raw(raw))
+    x_in, y = jnp.asarray(x_in), jnp.asarray(y)
+    cfg = C.ModelConfig(family="shiftinv15", channels=(3, 8, 8, 3),
+                        k_neighbors=6, knn_window=2, neighbor_impl="masked")
+    outs, grads = {}, {}
+    old = S15.TRANSPOSE_IMPL
+    try:
+        for impl in ("gather", "scatter"):
+            S15.set_transpose_impl(impl)
+            model = build_model(cfg, box=4.0 * cells)
+            params = model.init(jax.random.PRNGKey(0))
+            outs[impl] = np.asarray(jax.jit(model.apply)(params, x_in))
+
+            def loss(p):
+                return jnp.mean(jnp.square(model.apply(p, x_in) - y))
+
+            g = jax.jit(jax.grad(loss))(params)
+            grads[impl] = np.concatenate(
+                [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)])
+    finally:
+        S15.set_transpose_impl(old)
+    np.testing.assert_allclose(outs["scatter"], outs["gather"],
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(grads["scatter"], grads["gather"],
+                               rtol=1e-4, atol=1e-5)
