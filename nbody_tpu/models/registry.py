@@ -30,6 +30,14 @@ class Model(NamedTuple):
     # (filled in at first trace by _make_masks; ADVICE r3: per-build, not
     # a process global, so concurrent models can't alias entries)
     impl_record: dict = None
+    # graph families also expose the split (knn, apply-given-idx) pair so
+    # callers that vmap over model replicas (the multi-seed ensemble) can
+    # hoist the graph build OUT of the member vmap: members share the
+    # batch, so idx is member-invariant — and outside the vmap the
+    # halo-exchange shard_map kNN routes instead of GSPMD partitioning the
+    # full-cube roll search (VERDICT r4 #4).  None for non-graph families.
+    knn_fn: Callable = None          # x_in (b,N,C) -> idx (b,N,K)
+    apply_with_idx: Callable = None  # (params, x_in, idx) -> (b,N,out)
 
     @property
     def eval_fn(self):
@@ -66,7 +74,8 @@ def _effective_band(cfg: C.ModelConfig, band, n: int, cells: int):
     return None
 
 
-def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None):
+def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None,
+              batch_replicated: bool = False):
     """kNN builder for graph models: positions (b, N, 3) raw -> idx (b, N, K).
 
     "lattice" (default) uses the cell-list roll search when N is a full
@@ -78,6 +87,11 @@ def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None):
     communication is 2*window*cells^2 positions per shard over ppermute,
     instead of whatever cube-scale collectives GSPMD would insert for the
     (2w+1)^3 full-cube rolls (VERDICT r2 weak #3).
+
+    batch_replicated: the batch axis is NOT sharded over "data" (the
+    ensemble composition replicates the shared batch over members) — the
+    halo search then runs with the batch replicated per shard instead of
+    slicing it.
     """
     k = cfg.k_neighbors
     cells = int(round(box / 4.0))
@@ -94,7 +108,8 @@ def _make_knn(cfg: C.ModelConfig, box: float, band, mesh=None):
                     return knn_lattice_sharded_batch(
                         pos_norm, k, cells=cells, mesh=mesh,
                         window=cfg.knn_window,
-                        select=getattr(cfg, "knn_select", "sort"))
+                        select=getattr(cfg, "knn_select", "sort"),
+                        batch_replicated=batch_replicated)
             return knn_periodic_lattice_batch(
                 pos_norm, k, cells=cells, window=cfg.knn_window,
                 select=getattr(cfg, "knn_select", "sort"))
@@ -288,29 +303,33 @@ def _mixed_precision(model: Model, dtype) -> Model:
     if dtype == jnp.float32:
         return model
 
-    def cast(fn):
-        def wrapped(params, x_in):
+    def cast(fn, with_idx=False):
+        if fn is None:
+            return None
+
+        def wrapped(params, x_in, *rest):
             params_c = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
-            return fn(params_c, x_in).astype(jnp.float32)
+            return fn(params_c, x_in, *rest).astype(jnp.float32)
         return wrapped
 
     return Model(model.init, cast(model.apply), model.family,
-                 cast(model.apply_eval) if model.apply_eval is not None else None,
-                 model.impl_record)
+                 cast(model.apply_eval), model.impl_record,
+                 model.knn_fn, cast(model.apply_with_idx))
 
 
 def build_model(cfg: C.ModelConfig, box: float = C.BOX_SIZE,
-                mesh=None) -> Model:
+                mesh=None, batch_replicated: bool = False) -> Model:
     """mesh: optional (data, particle) Mesh — graph families route the
     in-step kNN through the halo-exchange shard_map search when the
-    particle axis is sharded (see _make_knn)."""
+    particle axis is sharded (see _make_knn).  batch_replicated: the batch
+    is replicated over "data" (ensemble members) rather than sharded."""
     dtype = jnp.dtype(cfg.dtype)
-    model = _build_model_inner(cfg, box, dtype, mesh)
+    model = _build_model_inner(cfg, box, dtype, mesh, batch_replicated)
     return _mixed_precision(model, dtype)
 
 
 def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
-                       mesh=None) -> Model:
+                       mesh=None, batch_replicated: bool = False) -> Model:
     channels = list(cfg.channels)
     record: dict = {}   # filled at first trace by _make_masks
 
@@ -337,16 +356,19 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
         def init(key):
             return shiftinv.init_shiftinv_vel_params(key, channels, jnp.float32)
 
-        knn = _make_knn(cfg, box, band, mesh)
+        knn = _make_knn(cfg, box, band, mesh, batch_replicated)
         lattice = ((cells, cfg.knn_window)
                    if (cfg.knn_method == "lattice"
                        and cfg.neighbor_impl in ("block", "masked"))
                    else None)
 
-        def apply(params, x_in):
+        def knn_fn(x_in):
+            pos, _ = _graph_geometry(x_in, box)
+            return knn(pos)
+
+        def apply_with_idx(params, x_in, idx):
             pos, za = _graph_geometry(x_in, box)
             vel = x_in[..., 6:9]
-            idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice if (lattice and n == cells ** 3) else None
             masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
@@ -356,7 +378,11 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                 band=_effective_band(cfg, band, n, cells),
                 remat=cfg.remat, lattice=lat, masks=masks)
 
-        return Model(init, apply, "shiftinv_vel", impl_record=record)
+        def apply(params, x_in):
+            return apply_with_idx(params, x_in, knn_fn(x_in))
+
+        return Model(init, apply, "shiftinv_vel", impl_record=record,
+                     knn_fn=knn_fn, apply_with_idx=apply_with_idx)
 
     if cfg.family in ("shiftinv", "shiftinv15"):
         if channels[0] != 3:
@@ -370,16 +396,19 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
             def init(key):
                 return shiftinv.init_shiftinv_params(key, channels, jnp.float32)
 
-            knn = _make_knn(cfg, box, band, mesh)
+            knn = _make_knn(cfg, box, band, mesh, batch_replicated)
 
             lattice = ((cells, cfg.knn_window)
                        if (cfg.knn_method == "lattice"
                            and cfg.neighbor_impl in ("block", "masked"))
                        else None)
 
-            def apply(params, x_in):
+            def knn_fn(x_in):
+                pos, _ = _graph_geometry(x_in, box)
+                return knn(pos)
+
+            def apply_with_idx(params, x_in, idx):
                 pos, za = _graph_geometry(x_in, box)
-                idx = knn(pos)
                 n = x_in.shape[-2]
                 lat = lattice if (lattice and n == cells ** 3) else None
                 masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
@@ -388,22 +417,29 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                     band=_effective_band(cfg, band, n, cells),
                     remat=cfg.remat, lattice=lat, masks=masks)
 
-            return Model(init, apply, "shiftinv", impl_record=record)
+            def apply(params, x_in):
+                return apply_with_idx(params, x_in, knn_fn(x_in))
+
+            return Model(init, apply, "shiftinv", impl_record=record,
+                         knn_fn=knn_fn, apply_with_idx=apply_with_idx)
 
         from nbody_tpu.models import shiftinv15
 
         def init(key):
             return shiftinv15.init_shiftinv15_params(key, channels, jnp.float32)
 
-        knn = _make_knn(cfg, box, band, mesh)
+        knn = _make_knn(cfg, box, band, mesh, batch_replicated)
         lattice15 = ((cells, cfg.knn_window)
                      if (cfg.knn_method == "lattice"
                          and cfg.neighbor_impl in ("block", "masked"))
                      else None)
 
-        def apply(params, x_in):
+        def knn_fn(x_in):
+            pos, _ = _graph_geometry(x_in, box)
+            return knn(pos)
+
+        def apply_with_idx(params, x_in, idx):
             pos, za = _graph_geometry(x_in, box)
-            idx = knn(pos)
             n = x_in.shape[-2]
             lat = lattice15 if (lattice15 and n == cells ** 3) else None
             masks, lat = _make_masks(cfg, lat, idx, dtype, record, mesh)
@@ -412,7 +448,11 @@ def _build_model_inner(cfg: C.ModelConfig, box: float, dtype,
                 band=_effective_band(cfg, band, n, cells),
                 remat=cfg.remat, lattice=lat, masks=masks)
 
-        return Model(init, apply, "shiftinv15", impl_record=record)
+        def apply(params, x_in):
+            return apply_with_idx(params, x_in, knn_fn(x_in))
+
+        return Model(init, apply, "shiftinv15", impl_record=record,
+                     knn_fn=knn_fn, apply_with_idx=apply_with_idx)
 
     if cfg.family == "attn":
         from nbody_tpu.models import attn

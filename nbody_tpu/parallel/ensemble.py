@@ -61,9 +61,24 @@ def batch_sharding(mesh: Mesh, leading_dims: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def ensemble_apply(model: Model, stacked_params, x_in: jnp.ndarray) -> jnp.ndarray:
-    """(E-stacked params, shared batch) -> (E, b, N, 3) predictions."""
-    return jax.vmap(model.apply, in_axes=(0, None))(stacked_params, x_in)
+def ensemble_apply(model: Model, stacked_params, x_in: jnp.ndarray,
+                   eval_mode: bool = False) -> jnp.ndarray:
+    """(E-stacked params, shared batch) -> (E, b, N, 3) predictions.
+
+    Graph families hoist the graph build OUT of the member vmap
+    (VERDICT r4 #4): members share the batch, so idx is member-invariant —
+    ONE kNN search (halo-routed under an ensemble x particle mesh, where
+    the in-vmap build regressed to GSPMD partitioning the full-cube roll
+    search — the pattern tests/test_comm_hlo.py measures as 18.5x worse)
+    feeds every member's apply_with_idx.  Graph families have no
+    train/eval mode split; eval_mode routes non-graph families (attn's
+    frozen batch-norm stats) through eval_fn."""
+    if model.knn_fn is not None and model.apply_with_idx is not None:
+        idx = model.knn_fn(x_in)
+        return jax.vmap(model.apply_with_idx, in_axes=(0, None, None))(
+            stacked_params, x_in, idx)
+    fwd = model.eval_fn if eval_mode else model.apply
+    return jax.vmap(fwd, in_axes=(0, None))(stacked_params, x_in)
 
 
 def make_ensemble_train_step(model: Model, optimizer: optax.GradientTransformation,
@@ -72,18 +87,23 @@ def make_ensemble_train_step(model: Model, optimizer: optax.GradientTransformati
     esh = ensemble_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
-    def member_step(params, opt_state, x_in, y_true):
+    def member_step(params, opt_state, x_in, y_true, idx):
         def loss(p):
-            return loss_fn(model.apply(p, x_in), y_true)
+            if idx is None:
+                return loss_fn(model.apply(p, x_in), y_true)
+            return loss_fn(model.apply_with_idx(p, x_in, idx), y_true)
 
         loss_val, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss_val
 
     def step(state: TrainState, x_in, y_true):
+        # graph build hoisted OUT of the member vmap: one (halo-routed)
+        # kNN for the shared batch, reused by all members (VERDICT r4 #4)
+        idx = model.knn_fn(x_in) if model.knn_fn is not None else None
         params, opt_state, losses = jax.vmap(
-            member_step, in_axes=(0, 0, None, None))(
-            state.params, state.opt_state, x_in, y_true)
+            member_step, in_axes=(0, 0, None, None, None))(
+            state.params, state.opt_state, x_in, y_true, idx)
         return TrainState(params, opt_state, state.step + 1), losses
 
     bs = batch_sharding(mesh)
@@ -110,9 +130,11 @@ def make_ensemble_train_scan(model: Model,
     esh = ensemble_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
-    def member_step(params, opt_state, x_in, y_true):
+    def member_step(params, opt_state, x_in, y_true, idx):
         def loss(p):
-            return loss_fn(model.apply(p, x_in), y_true)
+            if idx is None:
+                return loss_fn(model.apply(p, x_in), y_true)
+            return loss_fn(model.apply_with_idx(p, x_in, idx), y_true)
 
         loss_val, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -120,9 +142,11 @@ def make_ensemble_train_scan(model: Model,
 
     def one_step(state: TrainState, batch, num_inputs: int):
         x_in, y_true = batch[..., :num_inputs], batch[..., num_inputs:]
+        # per-scan-step graph build, hoisted out of the member vmap
+        idx = model.knn_fn(x_in) if model.knn_fn is not None else None
         params, opt_state, losses = jax.vmap(
-            member_step, in_axes=(0, 0, None, None))(
-            state.params, state.opt_state, x_in, y_true)
+            member_step, in_axes=(0, 0, None, None, None))(
+            state.params, state.opt_state, x_in, y_true, idx)
         return TrainState(params, opt_state, state.step + 1), losses
 
     def scan_steps(state: TrainState, batches, num_inputs: int):
@@ -147,10 +171,9 @@ def make_ensemble_eval_step(model: Model, mesh: Mesh,
     returned alongside for diagnostics."""
     esh = ensemble_sharding(mesh)
     rep = NamedSharding(mesh, P())
-    fwd = model.eval_fn
 
     def step(stacked_params, x_in, y_true):
-        preds = jax.vmap(fwd, in_axes=(0, None))(stacked_params, x_in)
+        preds = ensemble_apply(model, stacked_params, x_in, eval_mode=True)
         member_losses = jax.vmap(loss_fn, in_axes=(0, None))(preds, y_true)
         pred = jnp.mean(preds.astype(jnp.float32), axis=0)
         return pred, loss_fn(pred, y_true), member_losses

@@ -122,7 +122,8 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
                               mesh: Mesh, box: float = 1.0,
                               include_self: bool = True,
                               window: int = 3,
-                              select: str = "sort") -> jnp.ndarray:
+                              select: str = "sort",
+                              batch_replicated: bool = False) -> jnp.ndarray:
     """Halo-exchange lattice kNN for particle-sharded cubes.
 
     The TPU-native equivalent of the reference's host-side ghost-particle
@@ -139,6 +140,12 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
     per-step graph rebuild communicates at halo scale, not cube scale).
     Requires cells divisible by the particle-axis size p, and
     window <= cells/p (halos touch only adjacent shards).
+
+    batch_replicated: the ensemble composition replicates the SHARED batch
+    over the "data" (member) axis — the search then keeps the batch axis
+    unsharded (specs P(None, "particle")), running redundantly per member
+    shard; the ppermute halo exchange on "particle" is unchanged
+    (VERDICT r4 #4: one halo search, reused by all members).
     """
     p_size = mesh.shape[PARTICLE_AXIS]
     assert cells % p_size == 0, "cells must divide by the particle axis"
@@ -211,9 +218,10 @@ def knn_lattice_sharded_batch(pos: jnp.ndarray, k: int, cells: int,
         nz = jnp.mod(z[None, :, None] + dxyz[..., 2], cells)
         return ((nx * cells + ny) * cells + nz).astype(jnp.int32)
 
+    baxis = None if batch_replicated else DATA_AXIS
     fn = shard_map(local_knn, mesh=mesh,
-                   in_specs=P(DATA_AXIS, PARTICLE_AXIS, None),
-                   out_specs=P(DATA_AXIS, PARTICLE_AXIS, None))
+                   in_specs=P(baxis, PARTICLE_AXIS, None),
+                   out_specs=P(baxis, PARTICLE_AXIS, None))
     return fn(pos)
 
 
