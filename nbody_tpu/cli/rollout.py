@@ -69,7 +69,10 @@ def main(argv=None) -> int:
         print(f"\n=== pair {t}: z {zx} -> {zy} ===")
         ds = Dataset(cfg.data, raw=raws[t])
         trainer = Trainer(cfg, dataset=ds)
-        trainer.fit(verbose=True)
+        if cfg.train.scan_chunk > 0:
+            trainer.fit_scan(scan_chunk=cfg.train.scan_chunk, verbose=True)
+        else:
+            trainer.fit(verbose=True)
         params_seq.append(trainer.state.params)
         model = trainer.model
 

@@ -86,6 +86,9 @@ def test_queue_entry_parses(tag, cmd):
     elif prog == "scripts/stencil_stats.py":
         import stencil_stats
         _parse_with(stencil_stats.build_parser(), argv)
+    elif prog == "scripts/pick_winner.py":
+        import pick_winner
+        _parse_with(pick_winner.build_parser(), argv)
     elif prog == "scripts/bench_knn.py":
         import bench_knn
         args = _parse_with(bench_knn.build_parser(), argv)
