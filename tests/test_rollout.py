@@ -63,19 +63,29 @@ def test_rollout_graph_model():
     assert final.shape == (2, 64, 3) and bool(jnp.all(jnp.isfinite(final)))
 
 
-def test_chain_cli_end_to_end(tmp_path, monkeypatch, capsys):
+import pytest
+
+
+@pytest.mark.parametrize("scan_args", [[], ["--scan", "4"]],
+                         ids=["plain", "scan"])
+def test_chain_cli_end_to_end(tmp_path, monkeypatch, capsys, scan_args):
     from nbody_tpu.cli import rollout as cli_rollout
     monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
     rc = cli_rollout.main([
         "--steps", "2", "-i", "8", "-b", "2", "-t", "2", "--cells", "8",
         "--synthetic", "-n", "chaintest", "--model", "set",
-        "-c", "6", "8", "3", "-l", "0.003"])
+        "-c", "6", "8", "3", "-l", "0.003"] + scan_args)
     assert rc == 0
     out = capsys.readouterr().out
-    assert "Rollout position MSE" in out
+    assert "Rollout per chain step" in out
     import json as _json
     last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-    assert np.isfinite(_json.loads(last)["rollout_final_mse"])
+    rec = _json.loads(last)
+    assert np.isfinite(rec["rollout_final_mse"])
+    # per-hop quality leg: model and linear-velocity baseline medians
+    assert len(rec["rollout_model_median_l2"]) == 2
+    assert len(rec["rollout_linear_median_l2"]) == 2
+    assert all(np.isfinite(v) for v in rec["rollout_model_median_l2"])
     cube = np.load(tmp_path / "exp" / "ZA-FPM_0_chaintest" / "Results" /
                    "X_0_prediction.npy")
     assert cube.shape[0] == 2 and cube.shape[1] == 2  # (truth/pred, steps,...)
