@@ -243,6 +243,14 @@ def build_parser() -> argparse.ArgumentParser:
              "amortizes host latency on tunneled TPUs")
     adg("--masked_core", type=int, nargs=3, default=None, metavar="D",
         help="Masked-path core block shape (3 ints); default = swept optimum")
+    adg("--impl", type=str, default="masked",
+        choices=["masked", "block", "banded"],
+        help="Neighbor gather/scatter implementation (ModelConfig."
+             "neighbor_impl): 'masked' shared one-hot einsums (the swept "
+             "TPU optimum), 'block'/'banded' Pallas one-hot dots on TPU. "
+             "On CPU backends block/banded lower to XLA's native gather "
+             "— the fast choice there, where the masked path's one-hot "
+             "matmuls dominate the step")
     adg("--mask_dtype", type=str, default="auto",
         choices=["auto", "int8", "int4", "index"],
         help="Mask storage dtype: int8/int4 = Pallas mask-dot path (2x/4x "
@@ -327,6 +335,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         k_neighbors=(args.kneighbors if args.kneighbors > 0 else NUM_NEIGHBORS),
         seed=args.seed,
         masked_core=(tuple(args.masked_core) if args.masked_core else None),
+        neighbor_impl=args.impl,
         mask_dtype=args.mask_dtype,
         knn_select=args.knn_select,
         knn_window=args.knn_window,

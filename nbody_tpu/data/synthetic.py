@@ -2,17 +2,31 @@
 
 The real datasets (ZA_001.npy ... ZA_010.npy, shape (1000, 32, 32, 32, 19),
 reference utils.py:530-545) are not present in this environment, so the
-framework ships a physically-flavored generator producing the same schema:
+framework ships a physically-grounded generator producing the same schema:
 
-  * ZA displacements: gradient of a Gaussian random potential with a
-    power-law spectrum (smooth, curl-free — like real Zel'dovich fields).
-  * 2LPT displacements: ZA plus a small second-order correction.
-  * FastPM displacements: ZA plus a *nonlinear, locally-determined*
-    correction, so the learning problem (predict fpm - za from [grid, za])
-    is well-posed and models can demonstrably reduce the loss.
-  * Velocities proportional to displacements (exact for ZA growth).
+  * ZA displacements: psi1 = -grad(phi1) for a Gaussian random potential
+    phi1 with a power-law spectrum (smooth, curl-free — like real
+    Zel'dovich fields).
+  * 2LPT displacements: psi1 + psi2 with the GENUINE second-order term
+    psi2 = (3/7) grad(phi2),  del^2 phi2 = sum_{i<j}[phi1,ii phi1,jj
+    - phi1,ij^2]  (the standard 2LPT source, solved spectrally).  psi2 is
+    deterministic given psi1 but quadratic mode coupling — NOT proportional
+    to the particle's own velocity — so, as with real simulation data, a
+    least-squares linear-velocity baseline cannot absorb it while a model
+    that sees the local field structure can.
+  * FastPM displacements: 2LPT plus a local nonlinear growth response
+    (amplitude modulation by the particle's own field strength), standing
+    in for beyond-2LPT collapse.
+  * Velocities from linear-theory growth: v ~ f*(psi1 + 2*psi2*...) — the
+    second-order displacement grows ~D^2 so its velocity weight is doubled.
 
-Used for tests and for benchmarking when no real data is on disk.
+Used for tests and for benchmarking when no real data is on disk.  An
+earlier revision modeled the FastPM correction as ``za * (1 + tanh)`` plus
+a grid-roll term; that truth was nearly affine in the input velocity, so
+the reference's own headline comparison (model vs linear-velocity
+baseline, visualization/plot_eval.py:85-93) was unbeatable by construction
+— the 2LPT term restores the structure-dependent signal real models
+exploit.
 """
 
 from __future__ import annotations
@@ -20,22 +34,66 @@ from __future__ import annotations
 import numpy as np
 
 
-def _za_displacement_field(rng: np.random.Generator, cells: int,
-                           amplitude: float, slope: float = -2.5) -> np.ndarray:
-    """(C, C, C, 3) smooth random displacement = -grad(phi), periodic."""
+def _lpt_displacement_fields(rng: np.random.Generator, cells: int,
+                             amplitude: float, slope: float = -2.5,
+                             d2_ratio: float = 0.35):
+    """First- and second-order LPT displacement fields, both (C, C, C, 3).
+
+    psi1 = -grad(phi1) for a periodic Gaussian random potential phi1 with
+    |phi1_k| ~ k^slope, rescaled so rms(|psi1|) = amplitude (grid units).
+
+    psi2 = (3/7) grad(phi2) with the standard 2LPT Poisson source
+    (Scoccimarro 1998, eq. 2.9):
+        del^2 phi2 = sum_{i<j} [phi1,ii phi1,jj - (phi1,ij)^2]
+    computed spectrally from the SAME phi1 realization, then rescaled to
+    rms(|psi2|) = d2_ratio * amplitude — the epoch choice: the psi2/psi1
+    ratio grows like the linear growth factor D(t), and the late-time
+    regime (where the reference's FastPM targets live) is the interesting
+    one for learning.
+    """
     k1 = np.fft.fftfreq(cells) * cells
     kx, ky, kz = np.meshgrid(k1, k1, k1, indexing="ij")
-    k2 = kx**2 + ky**2 + kz**2
+    kvec = (kx, ky, kz)
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
     k2[0, 0, 0] = 1.0
     power = k2 ** (slope / 2.0)
     power[0, 0, 0] = 0.0
-    noise = rng.normal(size=(cells, cells, cells))
-    phi_k = np.fft.fftn(noise) * power
-    disp = np.empty((cells, cells, cells, 3))
-    for d, kd in enumerate((kx, ky, kz)):
-        disp[..., d] = np.real(np.fft.ifftn(1j * kd * phi_k))
-    rms = np.sqrt(np.mean(disp ** 2)) + 1e-12
-    return disp * (amplitude / rms)
+    # Zero the Nyquist planes: the spectral derivative -1j*k of a real
+    # field is ill-defined at the unpaired Nyquist mode (its real
+    # projection halves it), which would leave psi1 slightly curl-ful and
+    # break the exact psi1 -> Hessian -> phi2 chain the premise tests pin.
+    if cells % 2 == 0:
+        nyq = cells // 2
+        power[np.abs(kx) == nyq] = 0.0
+        power[np.abs(ky) == nyq] = 0.0
+        power[np.abs(kz) == nyq] = 0.0
+    phi_k = np.fft.fftn(rng.normal(size=(cells,) * 3)) * power
+
+    psi1 = np.empty((cells, cells, cells, 3))
+    for d in range(3):
+        psi1[..., d] = np.real(np.fft.ifftn(-1j * kvec[d] * phi_k))
+    s1 = amplitude / (np.sqrt(np.mean(np.sum(psi1 ** 2, axis=-1))) + 1e-12)
+    psi1 *= s1
+    phi_k = phi_k * s1      # keep phi1 consistent with the rescaled psi1
+
+    # Hessian phi1,ij in k-space: -(k_i k_j) phi1_k
+    hess = {}
+    for i in range(3):
+        for j in range(i, 3):
+            hess[(i, j)] = np.real(np.fft.ifftn(-(kvec[i] * kvec[j]) * phi_k))
+    src = (hess[(0, 0)] * hess[(1, 1)] - hess[(0, 1)] ** 2
+           + hess[(0, 0)] * hess[(2, 2)] - hess[(0, 2)] ** 2
+           + hess[(1, 1)] * hess[(2, 2)] - hess[(1, 2)] ** 2)
+    src_k = np.fft.fftn(src)
+    phi2_k = -src_k / k2                 # del^2 phi2 = src
+    phi2_k[0, 0, 0] = 0.0
+    psi2 = np.empty((cells, cells, cells, 3))
+    for d in range(3):
+        psi2[..., d] = (3.0 / 7.0) * np.real(np.fft.ifftn(1j * kvec[d]
+                                                          * phi2_k))
+    rms2 = np.sqrt(np.mean(np.sum(psi2 ** 2, axis=-1))) + 1e-12
+    psi2 *= (d2_ratio * amplitude) / rms2
+    return psi1, psi2
 
 
 def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
@@ -51,18 +109,19 @@ def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
     rng = np.random.default_rng(seed)
     out = np.zeros((num_samples, cells, cells, cells, 19), dtype=np.float32)
     for s in range(num_samples):
-        za = _za_displacement_field(rng, cells, amplitude=za_rms)
-        # second-order-like correction: quadratic in the local field
+        za, psi2 = _lpt_displacement_fields(rng, cells, amplitude=za_rms)
+        lpt2 = za + psi2
+        # "FastPM" truth: 2LPT plus a local nonlinear growth response —
+        # collapse proceeds faster where the field is strong.  Local and
+        # pointwise-learnable; the structure-dependent part is psi2.
         za_mag2 = np.sum(za ** 2, axis=-1, keepdims=True)
-        lpt2 = za * (1.0 + 0.05 * za_mag2)
-        # "FastPM" truth: nonlinear local response of the ZA field plus a
-        # small smooth component — deterministic given ZA, hence learnable.
-        fpm = za * (1.0 + 0.15 * np.tanh(za_mag2)) + 0.05 * np.roll(za, 1, axis=0)
+        fpm = lpt2 + 0.15 * za * np.tanh(za_mag2 / max(za_rms, 1e-12) ** 2)
         f_growth = 0.5  # velocity ~ f * H * displacement, arbitrary units
         out[s, ..., 1:4] = za
         out[s, ..., 4:7] = lpt2
         out[s, ..., 7:10] = fpm
         out[s, ..., 10:13] = f_growth * za
-        out[s, ..., 13:16] = f_growth * lpt2
-        out[s, ..., 16:19] = f_growth * fpm
+        # D2 ~ D^2: the second-order displacement's velocity weight doubles
+        out[s, ..., 13:16] = f_growth * (za + 2.0 * psi2)
+        out[s, ..., 16:19] = f_growth * (fpm + psi2)
     return out
