@@ -14,9 +14,14 @@ framework ships a physically-grounded generator producing the same schema:
     to the particle's own velocity — so, as with real simulation data, a
     least-squares linear-velocity baseline cannot absorb it while a model
     that sees the local field structure can.
-  * FastPM displacements: 2LPT plus a local nonlinear growth response
-    (amplitude modulation by the particle's own field strength), standing
-    in for beyond-2LPT collapse.
+  * FastPM displacements: 2LPT plus the leading nonlinear mode-coupling
+    response psi1 * delta (delta = -div psi1, the linear density contrast
+    — collapse accelerates in overdense regions) and a local amplitude
+    modulation, standing in for beyond-2LPT collapse.  The coupling term
+    is quadratic in the Gaussian field, hence invisible to a fitted
+    linear-velocity timestep, yet one-hop learnable: delta is a first
+    derivative of the displacement field, read directly off neighbor
+    relative positions.
   * Velocities from linear-theory growth: v ~ f*(psi1 + 2*psi2*...) — the
     second-order displacement grows ~D^2 so its velocity weight is doubled.
 
@@ -93,7 +98,12 @@ def _lpt_displacement_fields(rng: np.random.Generator, cells: int,
                                                           * phi2_k))
     rms2 = np.sqrt(np.mean(np.sum(psi2 ** 2, axis=-1))) + 1e-12
     psi2 *= (d2_ratio * amplitude) / rms2
-    return psi1, psi2
+    # Linear density contrast delta = -div(psi1) = del^2 phi1 (continuity
+    # equation at first order), normalized to unit rms — the locally
+    # observable field that modulates nonlinear growth.
+    delta = np.real(np.fft.ifftn(-k2 * np.where(power > 0, 1.0, 0.0) * phi_k))
+    delta /= (np.std(delta) + 1e-12)
+    return psi1, psi2, delta
 
 
 def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
@@ -109,13 +119,22 @@ def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
     rng = np.random.default_rng(seed)
     out = np.zeros((num_samples, cells, cells, cells, 19), dtype=np.float32)
     for s in range(num_samples):
-        za, psi2 = _lpt_displacement_fields(rng, cells, amplitude=za_rms)
+        za, psi2, delta = _lpt_displacement_fields(rng, cells,
+                                                   amplitude=za_rms)
         lpt2 = za + psi2
-        # "FastPM" truth: 2LPT plus a local nonlinear growth response —
-        # collapse proceeds faster where the field is strong.  Local and
-        # pointwise-learnable; the structure-dependent part is psi2.
+        # "FastPM" truth: 2LPT plus the leading nonlinear mode-coupling
+        # response — collapse accelerates in overdense regions, so the
+        # displacement picks up a psi1*delta coupling (delta = -div psi1,
+        # the linear density contrast) plus a local amplitude modulation.
+        # Both are quadratic in the Gaussian field (third moments against
+        # psi1 vanish), so neither is absorbable by a fitted linear-
+        # velocity timestep; delta is a FIRST-derivative field, directly
+        # visible in one hop of neighbor relative positions, so the
+        # coupling term is learnable at realistic training budgets.
         za_mag2 = np.sum(za ** 2, axis=-1, keepdims=True)
-        fpm = lpt2 + 0.15 * za * np.tanh(za_mag2 / max(za_rms, 1e-12) ** 2)
+        coupling = 0.30 * za * delta[..., None]
+        fpm = (lpt2 + coupling
+               + 0.15 * za * np.tanh(za_mag2 / max(za_rms, 1e-12) ** 2))
         f_growth = 0.5  # velocity ~ f * H * displacement, arbitrary units
         out[s, ..., 1:4] = za
         out[s, ..., 4:7] = lpt2
