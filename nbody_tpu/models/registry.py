@@ -257,6 +257,11 @@ def _make_masks(cfg: C.ModelConfig, lat, idx, dtype, record: dict,
         mask_dt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     b, n, k = idx.shape
     candidates = [MASKED_CORE, (4, 4, 8), (2, 4, 8), (2, 2, 4), (2, 2, 2)]
+    if getattr(cfg, "family", "") == "shiftinv15":
+        # the 15-op family's wider K*C-payload passes favor the biggest
+        # core: (8,8,8) measured 1059.4 ms vs (4,8,8) 1119.4 at 32^3 b4
+        # on chip (PERF.md round-5 15-op headline sweep)
+        candidates = [(8, 8, 8)] + candidates
     if getattr(cfg, "masked_core", None):
         candidates = [tuple(cfg.masked_core)] + candidates
     for core in candidates:
