@@ -3,13 +3,15 @@
 Usage: pick_lr.py QUEUE_LOG tag=lr [tag=lr ...] [--fallback LR]
 
 Scans the queue log (scripts/round5_quality3.sh format): a `### <tag> ...`
-line opens a section; `Checkpoint  N : loss` lines inside it belong to
-that tag.  For each tag=lr pair the score is the mean of the last two
-checkpoint losses (robust to one noisy final batch).  Prints the winning
-lr to stdout (the queue script substitutes it into the long train), and a
-one-line ranking to stderr for the log.  Falls back to --fallback (default:
-the middle lr given) when no probe produced checkpoints — e.g. after a
-tunnel outage — so the long train still runs.
+line opens a section; lines inside it belong to that tag.  The score for
+each tag=lr pair is the probe's final TEST error (`median :  X` from the
+train CLI's end-of-run evaluation — the queue keeps only the tail of each
+probe's output, and the eval block is what survives); when a probe's eval
+is missing, the last two `Checkpoint N : loss` lines stand in.  Prints
+the winning lr to stdout (the queue script substitutes it into the long
+train), and a one-line ranking to stderr for the log.  Falls back to
+--fallback (default: the middle lr given) when no probe produced a score
+— e.g. after a tunnel outage — so the long train still runs.
 """
 
 from __future__ import annotations
@@ -31,8 +33,10 @@ def main(argv) -> int:
         fallback = vals[len(vals) // 2]
 
     losses: dict[str, list[float]] = {t: [] for t in tag_lr}
+    medians: dict[str, float] = {}
     current = None
     ckpt = re.compile(r"Checkpoint\s+\d+\s*:\s*([0-9.eE+-]+)")
+    med = re.compile(r"median\s*:\s*([0-9.eE+-]+)")
     with open(log_path) as f:
         for line in f:
             if line.startswith("### "):
@@ -43,8 +47,12 @@ def main(argv) -> int:
                 m = ckpt.search(line)
                 if m:
                     losses[current].append(float(m.group(1)))
+                m = med.search(line)
+                if m:
+                    medians[current] = float(m.group(1))
 
     scored = {t: sum(v[-2:]) / len(v[-2:]) for t, v in losses.items() if v}
+    scored.update(medians)  # test error beats train loss where both exist
     if not scored:
         print(f"pick_lr: no checkpoints found, falling back to {fallback}",
               file=sys.stderr)
