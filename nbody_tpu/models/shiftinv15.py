@@ -60,6 +60,27 @@ from nbody_tpu.physics.pbc import min_image_diff
 import os as _os
 TRANSPOSE_IMPL = _os.environ.get("NBODY15_TRANSPOSE", "gather")
 
+# Profiling-only ablation hook (scripts/profile15_parts.py): a set of
+# component names the masked-path GATHER-impl layer skips at trace time, so
+# program deltas localize the step's cost per component.  MUST stay empty
+# outside profiling — ablated programs compute a different function.
+#   "transpose"  drop op 2 (the K*C-wide gather ride + slot contraction)
+#   "slotsum"    keep the wide ride, drop the (K,K) slot contraction
+#   "bcast"      drop ops 4/8/14 + 5/7/15 (the x_col/x_row gather rides)
+#   "diag"       drop the fused diagonal write (ops 3/6/9/11/13 + diag bias)
+#   "pools"      drop the fused scatter pass (h_r/h_c become zeros)
+#   "maskmul"    drop the final block-B liveness mask multiply
+ABLATE: frozenset = frozenset()
+
+
+def set_ablate(names=()) -> None:
+    """Set the profiling ablation set (trace-time; rebuild jits after)."""
+    global ABLATE
+    names = frozenset(names)
+    known = {"transpose", "slotsum", "bcast", "diag", "pools", "maskmul"}
+    assert names <= known, names - known
+    ABLATE = names
+
 
 def set_transpose_impl(impl: str):
     """Swap the masked-path transpose implementation ("gather"/"scatter")."""
@@ -354,6 +375,10 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
     bsz, _, nb, r, k, c_in = hB.shape
     n = nb * r
     q = w.shape[-1]
+    ab = ABLATE                  # profiling hook; empty in production
+    assert not ab or transpose_impl == "gather", \
+        "the ablation hook supports transpose_impl='gather' only"
+    ride_t = True
 
     def mm(x, wi):
         return jnp.einsum("...c,cq->...q", x, wi, preferred_element_type=dt)
@@ -390,9 +415,12 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
             bsz, nb, r, k, cw)
     else:
         # pools: both scatters fused (channel concat), block A sums free
-        s2 = masked_scatter_add_blocks(
-            jnp.concatenate([hB[:, 0], hbm], axis=-1), masks, cl, win,
-            core=core, self_slot0=sf)                   # cube (b, N, 2C)
+        if "pools" in ab:
+            s2 = jnp.zeros((bsz, n, 2 * c_in), dt)
+        else:
+            s2 = masked_scatter_add_blocks(
+                jnp.concatenate([hB[:, 0], hbm], axis=-1), masks, cl, win,
+                core=core, self_slot0=sf)               # cube (b, N, 2C)
     sum_a = to_cube(jnp.sum(hB[:, 0], axis=3))          # (b, N, C)
     sum_bm = to_cube(jnp.sum(hbm, axis=3))
     # pool divisions run against f32 deg/live (ADVICE r3: bf16 deg would
@@ -409,8 +437,10 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
     # plus (gather impl only) the transpose's K*C-wide rows.  The
     # transpose is an edge permutation and commutes with the channel
     # matmul — apply W first when it shrinks.
-    x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
-    x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
+    ride_b = "bcast" not in ab
+    if ride_b:
+        x_col = mm(h_r, w[3]) + mm(h_c, w[7]) + mm(h_d, w[13])
+        x_row = mm(h_r, w[4]) + mm(h_c, w[6]) + mm(h_d, w[14])
     if transpose_impl == "scatter":
         payload = jnp.concatenate([x_col, x_row], axis=-1)
         ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
@@ -419,35 +449,51 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
         g_colB = ggB[..., :q]
         g_rowB = ggB[..., q:]
     else:
-        payload = jnp.concatenate(
-            [to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw)), x_col, x_row],
-            axis=-1)
-        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
-                                   self_slot0=sf)       # (b, NB, R, K, W)
-        rows_wideB = ggB[..., :k * cw]
-        from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
-                      * selB[..., j, None] for j in range(k))
-        taB = from_aB * (1.0 - mbB)[..., None] + hinB[:, 1] * mbB[..., None]
-        g_colB = ggB[..., k * cw:k * cw + q]
-        g_rowB = ggB[..., k * cw + q:]
-    tbB = hinB[:, 0] * mbB[..., None]
-    tB = jnp.stack([taB, tbB], axis=1)
-    if not pre_w:
-        tB = mm(tB, w[1])
-    out += tB                                           # 2 transpose
-    x_colB = cube_to_blocks(x_col, cl, core)
-    x_rowB = cube_to_blocks(x_row, cl, core)
-    out += jnp.stack([g_colB + x_rowB[:, :, :, None, :],
-                      x_colB[:, :, :, None, :] + g_rowB], axis=1)
+        ride_t = "transpose" not in ab
+        parts = ([to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw))]
+                 if ride_t else [])
+        if ride_b:
+            parts += [x_col, x_row]
+        if parts:
+            ggB = masked_gather_blocks(
+                jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                else parts[0], masks, cl, win, core=core,
+                self_slot0=sf)                          # (b, NB, R, K, W)
+        off = k * cw if ride_t else 0
+        if ride_t:
+            rows_wideB = ggB[..., :off]
+            if "slotsum" in ab:
+                from_aB = rows_wideB[..., :cw]
+            else:
+                from_aB = sum(rows_wideB[..., j * cw:(j + 1) * cw]
+                              * selB[..., j, None] for j in range(k))
+            taB = (from_aB * (1.0 - mbB)[..., None]
+                   + hinB[:, 1] * mbB[..., None])
+        if ride_b:
+            g_colB = ggB[..., off:off + q]
+            g_rowB = ggB[..., off + q:]
+    if transpose_impl == "scatter" or ride_t:
+        tbB = hinB[:, 0] * mbB[..., None]
+        tB = jnp.stack([taB, tbB], axis=1)
+        if not pre_w:
+            tB = mm(tB, w[1])
+        out += tB                                       # 2 transpose
+    if ride_b:
+        x_colB = cube_to_blocks(x_col, cl, core)
+        x_rowB = cube_to_blocks(x_row, cl, core)
+        out += jnp.stack([g_colB + x_rowB[:, :, :, None, :],
+                          x_colB[:, :, :, None, :] + g_rowB], axis=1)
 
-    # all five diagonal contributions + diag bias as ONE node field
-    diag = (mm(h_d, w[2]) + mm(h_r, w[5]) + mm(h_c, w[8])    # 3, 6, 9
-            + (mm(h_a, w[10]) + mm(h_p, w[12]) + bias[0])[:, None, :])  # 11, 13
-    out = out.at[:, 0, :, :, 0, :].add(cube_to_blocks(diag, cl, core))
+    if "diag" not in ab:
+        # all five diagonal contributions + diag bias as ONE node field
+        diag = (mm(h_d, w[2]) + mm(h_r, w[5]) + mm(h_c, w[8])    # 3, 6, 9
+                + (mm(h_a, w[10]) + mm(h_p, w[12]) + bias[0])[:, None, :])
+        out = out.at[:, 0, :, :, 0, :].add(cube_to_blocks(diag, cl, core))
     out += (mm(h_a, w[9]) + mm(h_p, w[11]) + bias[1])[:, None, None, None,
                                                       None, :]  # 10, 12
-    mask = jnp.stack([jnp.ones_like(mbB), mbB], axis=1)[..., None]
-    out = out * mask
+    if "maskmul" not in ab:
+        mask = jnp.stack([jnp.ones_like(mbB), mbB], axis=1)[..., None]
+        out = out * mask
     if is_last:
         # row pool: block A free-sums + block B masked scatter -> (b, N, q)
         s = masked_scatter_add_blocks(out[:, 1] * mbB[..., None], masks,

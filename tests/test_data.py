@@ -64,3 +64,25 @@ def test_split_batch_and_positions():
     assert x_in.shape == (2, 512, 6) and y.shape == (2, 512, 3)
     pos = np.asarray(positions_from_inputs(x_in, box=32.0))
     assert pos.min() >= 0.0 and pos.max() < 1.0
+
+
+def test_synthetic_disk_cache_roundtrip(tmp_path, monkeypatch, capsys):
+    """The generated cubes are disk-cached per (num_samples, cells, seed):
+    a second Dataset construction loads the identical array from the cache
+    instead of re-running the ~5-min 2LPT solve (measurement queues build
+    one Dataset per CLI process)."""
+    monkeypatch.setenv("NBODY_SYNTH_CACHE_DIR", str(tmp_path))
+    cfg = _tiny_cfg(cells=8, num_samples=6)
+    d1 = Dataset(cfg)
+    assert "generating synthetic data" in capsys.readouterr().out
+    d2 = Dataset(cfg)
+    assert "from cache" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(d1.X_train),
+                                  np.asarray(d2.X_train))
+    np.testing.assert_array_equal(np.asarray(d1.X_test),
+                                  np.asarray(d2.X_test))
+    # a different seed misses the cache (distinct key)
+    cfg2 = C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
+                        cells_per_side=8, synthetic_num_samples=6, seed=9)
+    Dataset(cfg2)
+    assert "generating synthetic data" in capsys.readouterr().out

@@ -83,6 +83,11 @@ def test_queue_entry_parses(tag, cmd):
         import profile_step15
         args = _parse_with(profile_step15.build_parser(), argv)
         assert set(args.impls) <= {"gather", "scatter"}
+    elif prog == "scripts/profile15_parts.py":
+        import profile15_parts
+        args = _parse_with(profile15_parts.build_parser(), argv)
+        known = {n for n, _ in profile15_parts.ABLATIONS}
+        assert not args.only or set(args.only) <= known
     elif prog == "scripts/stencil_stats.py":
         import stencil_stats
         _parse_with(stencil_stats.build_parser(), argv)
