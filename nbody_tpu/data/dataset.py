@@ -136,11 +136,21 @@ class Dataset:
     def num_particles(self) -> int:
         return self.X_train.shape[1]
 
-    def get_minibatch(self, key: jax.Array, batch_size: int = C.BATCH_SIZE) -> np.ndarray:
-        """Random minibatch without replacement (reference utils.py:559-566)."""
+    def get_minibatch_indices(self, key: jax.Array,
+                              batch_size: int = C.BATCH_SIZE) -> np.ndarray:
+        """Sample indices (without replacement) of one minibatch.
+
+        Split out of get_minibatch so the device-resident-data path
+        (Trainer.fit_scan with device_data) can ship ONLY these int32
+        indices per step; the threefry math is backend-invariant, so both
+        paths draw the identical batch sequence from the same key."""
         n = self.X_train.shape[0]
         idx = jax.random.choice(key, n, (batch_size,), replace=False)
-        return self.X_train[np.asarray(idx)]
+        return np.asarray(idx)
+
+    def get_minibatch(self, key: jax.Array, batch_size: int = C.BATCH_SIZE) -> np.ndarray:
+        """Random minibatch without replacement (reference utils.py:559-566)."""
+        return self.X_train[self.get_minibatch_indices(key, batch_size)]
 
     def sequential_batches(self, split: str, batch_size: int):
         """Yield (start, batch) slices over val/test (reference train.py:140-151)."""

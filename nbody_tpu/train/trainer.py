@@ -87,6 +87,45 @@ def make_train_scan(model: Model, optimizer: optax.GradientTransformation,
     return jax.jit(scan_steps, static_argnums=(2,), donate_argnums=(0,))
 
 
+def make_train_scan_device(model: Model,
+                           optimizer: optax.GradientTransformation,
+                           loss_fn: Callable = loss_za):
+    """make_train_scan twin for a DEVICE-RESIDENT training set.
+
+    (state, x_all (S, N, C), idxs (T, b) int32, num_inputs) -> (state',
+    losses (T,)).  x_all is staged in HBM once by the caller; each scanned
+    step assembles its minibatch with `b` static dynamic-index slices
+    (contiguous row reads — NOT a dynamic gather, which is pathological on
+    this platform, CLAUDE.md fact 3).  The host->device traffic per chunk
+    is a (T, b) int32 block instead of (T, b, N, C) batches: on the
+    tunneled TPU the batch stream costs ~300 ms/step at 32^3 b4 on top of
+    the 171 ms compute step — the inverse of the reference's feed_dict
+    design (reference train.py:114 feeds every step from the host).
+    State is donated; x_all is not (reused across dispatches)."""
+
+    def one_step(state: TrainState, x_all, idx_row, num_inputs: int):
+        batch = jnp.stack([
+            jax.lax.dynamic_index_in_dim(x_all, idx_row[i], 0,
+                                         keepdims=False)
+            for i in range(idx_row.shape[0])])
+        x_in, y_true = batch[..., :num_inputs], batch[..., num_inputs:]
+
+        def loss(params):
+            return loss_fn(model.apply(params, x_in), y_true)
+
+        loss_val, grads = jax.value_and_grad(loss)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss_val
+
+    def scan_steps(state: TrainState, x_all, idxs, num_inputs: int):
+        return jax.lax.scan(
+            lambda s, ib: one_step(s, x_all, ib, num_inputs), state, idxs)
+
+    return jax.jit(scan_steps, static_argnums=(3,), donate_argnums=(0,))
+
+
 def make_eval_step(model: Model, loss_fn: Callable = loss_za):
     """Jitted (params, x_in, y_true) -> (pred, loss).  Uses the model's
     deterministic eval-mode forward (e.g. frozen batch-norm stats)."""
@@ -378,17 +417,72 @@ class Trainer:
             last_loss = self._loss_scalar(loss)
         return last_loss
 
+    def _device_data_enabled(self) -> bool:
+        """Resolve the device_data setting for the fit_scan path.
+
+        "on"/"auto" engage only on the single-device scan path: sharded and
+        ensemble steps place batches through batch_sharding, and a
+        replicated HBM copy of X_train would defeat the mesh layout.
+        "auto" additionally requires the training set to fit the HBM
+        budget (NBODY_DEVICE_DATA_CAP_GB, default 6 — the 32^3 synthetic
+        set is ~1.5 GB; 64^3 at ~12 GB stays host-streamed)."""
+        mode = getattr(self.cfg.train, "device_data", "off")
+        if mode == "off":
+            return False
+        if self.mesh is not None or self.ensemble > 1:
+            if mode == "on":
+                import logging
+                logging.getLogger(__name__).warning(
+                    "device_data=on ignored: sharded/ensemble steps feed "
+                    "through batch_sharding placement")
+            return False
+        if mode == "on":
+            return True
+        cap_gb = float(os.environ.get("NBODY_DEVICE_DATA_CAP_GB", "6"))
+        return self.dataset.X_train.nbytes <= cap_gb * 2 ** 30
+
+    @staticmethod
+    def _host_rng_device():
+        """The host CPU device for minibatch-index sampling, if the CPU
+        backend coexists with the accelerator (this machine's site config
+        runs jax_platforms="axon,cpu").  Keeps the per-step
+        jax.random.split/choice dispatches off the tunneled TPU — the
+        threefry math is backend-invariant, so batch sequences are
+        unchanged."""
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return None
+
     def fit_scan(self, num_iters: Optional[int] = None,
                  key: Optional[jax.Array] = None, scan_chunk: int = 50,
                  verbose: bool = True) -> float:
         """Train with multi-step device scans: `scan_chunk` optimizer steps
         per host dispatch (see make_train_scan).  Numerically identical to
         fit() given the same batch sequence; far fewer host round-trips.
-        """
+
+        With device_data (TrainConfig) the training set is staged in HBM
+        once and each dispatch ships a (T, b) int32 index block instead of
+        (T, b, N, C) batches — same sequence, same losses, no per-step
+        host->device batch stream (make_train_scan_device)."""
+        import contextlib
         tcfg = self.cfg.train
         num_iters = num_iters if num_iters is not None else tcfg.num_iters
-        key = key if key is not None else jax.random.PRNGKey(self.cfg.data.seed)
-        if not hasattr(self, "_scan_fn"):
+        use_dev = self._device_data_enabled()
+        rngdev = self._host_rng_device()
+        rngctx = (jax.default_device(rngdev) if rngdev is not None
+                  else contextlib.nullcontext())
+        with rngctx:
+            if key is None:
+                key = jax.random.PRNGKey(self.cfg.data.seed)
+        if use_dev:
+            if not hasattr(self, "_scan_fn_dev"):
+                self._scan_fn_dev = make_train_scan_device(self.model,
+                                                           self.optimizer)
+            if not hasattr(self, "_x_dev"):
+                self._x_dev = jnp.asarray(np.asarray(self.dataset.X_train))
+            scan_fn = self._scan_fn_dev
+        elif not hasattr(self, "_scan_fn"):
             if self.ensemble > 1:
                 from nbody_tpu.parallel.ensemble import make_ensemble_train_scan
                 self._scan_fn = make_ensemble_train_scan(
@@ -399,21 +493,40 @@ class Trainer:
                     self.model, self.optimizer, self.mesh)
             else:
                 self._scan_fn = make_train_scan(self.model, self.optimizer)
-        scan_fn = self._scan_fn
+        if not use_dev:
+            scan_fn = self._scan_fn
         last_loss = float("nan")
         t0 = time.time()
         done = 0
         while done < num_iters:
             t = min(scan_chunk, num_iters - done)
-            chunk = []
-            for _ in range(t):
-                key, bkey = jax.random.split(key)
-                chunk.append(self.dataset.get_minibatch(bkey, tcfg.batch_size))
-            batches = jnp.asarray(np.stack(chunk))
+            if use_dev:
+                rows = []
+                with rngctx:
+                    for _ in range(t):
+                        key, bkey = jax.random.split(key)
+                        rows.append(self.dataset.get_minibatch_indices(
+                            bkey, tcfg.batch_size))
+                idxs = np.stack(rows).astype(np.int32)
+                # host-side views for the coverage guard/monitor only
+                batches = self.dataset.X_train[idxs[[0, -1]]]
+            else:
+                chunk = []
+                with rngctx:
+                    for _ in range(t):
+                        key, bkey = jax.random.split(key)
+                        chunk.append(self.dataset.get_minibatch(
+                            bkey, tcfg.batch_size))
+                batches = jnp.asarray(np.stack(chunk))
             if done == 0:
                 self.check_graph_coverage(batches[0][..., :self.num_inputs])
             first = done == 0
-            self.state, losses = scan_fn(self.state, batches, self.num_inputs)
+            if use_dev:
+                self.state, losses = scan_fn(self.state, self._x_dev, idxs,
+                                             self.num_inputs)
+            else:
+                self.state, losses = scan_fn(self.state, batches,
+                                             self.num_inputs)
             if first:
                 self._log_effective_impl()
             done += t

@@ -192,3 +192,43 @@ def test_remat_matches_no_remat():
     l1 = t1.fit(num_iters=6, key=key, verbose=False)
     l2 = t2.fit(num_iters=6, key=key, verbose=False)
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_device_data_scan_bit_matches_host_stream():
+    """fit_scan with the device-resident training set draws the same batch
+    sequence (threefry indices are backend-invariant) and must produce the
+    SAME loss trajectory and parameters as the host-streamed scan path."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    def run(device_data):
+        cfg = _cfg("shiftinv", (3, 8, 3), iters=20)
+        cfg = C.Config(data=cfg.data, model=cfg.model,
+                       train=dataclasses.replace(cfg.train, num_iters=20,
+                                                 device_data=device_data))
+        t = Trainer(cfg)
+        last = t.fit_scan(scan_chunk=5, verbose=False)
+        return last, t.state.params, t
+
+    loss_host, params_host, t_host = run("off")
+    loss_dev, params_dev, t_dev = run("on")
+    assert hasattr(t_dev, "_x_dev") and not hasattr(t_host, "_x_dev")
+    assert loss_host == loss_dev
+    for a, b in zip(jax.tree_util.tree_leaves(params_host),
+                    jax.tree_util.tree_leaves(params_dev)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_data_auto_gates_on_mesh_and_cap(monkeypatch):
+    """auto stays off for sharded/ensemble steps and over-budget sets."""
+    import dataclasses
+    cfg = _cfg("shiftinv", (3, 8, 3), iters=1)
+    t = Trainer(cfg)
+    assert t._device_data_enabled()          # single-device, tiny set
+    monkeypatch.setenv("NBODY_DEVICE_DATA_CAP_GB", "0")
+    assert not t._device_data_enabled()      # over the HBM budget
+    monkeypatch.delenv("NBODY_DEVICE_DATA_CAP_GB")
+    cfg2 = C.Config(data=cfg.data, model=cfg.model,
+                    train=dataclasses.replace(cfg.train, particle_axis=2))
+    t2 = Trainer(cfg2)
+    assert t2.mesh is not None and not t2._device_data_enabled()
