@@ -102,35 +102,12 @@ class Dataset:
                     f"data_idx {cfg.data_idx} out of range: {len(paths)} "
                     f"dataset files in {cfg.data_dir}")
             return load_cube_file(paths[cfg.data_idx])
-        # Disk-cache the generated cubes: the 2LPT spectral solve for 1000
-        # 32^3 samples costs ~5 min of host CPU, and every CLI process in a
-        # measurement queue regenerates the identical array otherwise (the
-        # generator is deterministic in (num_samples, cells, seed)).
-        cache = os.path.join(
-            os.environ.get("NBODY_SYNTH_CACHE_DIR", "/tmp/nbody_synth"),
-            f"synth_{cfg.synthetic_num_samples}x{cfg.cells_per_side}"
-            f"_s{cfg.seed}.npy")
-        try:
-            if os.path.exists(cache):
-                print(f"No .npy cubes in {cfg.data_dir} — synthetic data "
-                      f"from cache ({cache}).")
-                return np.load(cache)
-        except Exception:
-            pass  # unreadable/corrupt cache -> regenerate
         print(f"No .npy cubes in {cfg.data_dir} — generating synthetic data "
-              f"({cfg.synthetic_num_samples} x {cfg.cells_per_side}^3).")
-        raw = synthetic_raw_cubes(
+              f"({cfg.synthetic_num_samples} x {cfg.cells_per_side}^3; "
+              "disk-cached per (samples, cells, seed, rms)).")
+        return synthetic_raw_cubes(
             num_samples=cfg.synthetic_num_samples, cells=cfg.cells_per_side,
             seed=cfg.seed)
-        try:
-            os.makedirs(os.path.dirname(cache), exist_ok=True)
-            # np.save appends ".npy" unless the name already ends with it
-            tmp = cache + f".{os.getpid()}.tmp.npy"
-            np.save(tmp, raw)
-            os.replace(tmp, cache)   # atomic vs concurrent readers
-        except Exception:
-            pass  # cache is best-effort (read-only FS, disk full, ...)
-        return raw
 
     @property
     def num_particles(self) -> int:

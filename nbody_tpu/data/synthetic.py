@@ -115,7 +115,27 @@ def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
       [...,  4: 7] 2LPT displacements   [..., 13:16] 2LPT velocity
       [...,  7:10] FastPM displacements [..., 16:19] FastPM velocity
     Displacements are in grid units (box = 4*C like the real 128-box data).
+
+    The result is disk-cached per (num_samples, cells, seed, za_rms): the
+    2LPT spectral solve for 1000 32^3 cubes costs ~5 min of host CPU, and
+    every CLI process in a measurement queue (and every hop of the rollout
+    chain) would regenerate an identical, fully-deterministic array.
+    Disable or redirect via NBODY_SYNTH_CACHE_DIR ("" disables).
     """
+    import os
+    cache_dir = os.environ.get("NBODY_SYNTH_CACHE_DIR", "/tmp/nbody_synth")
+    min_pts = int(os.environ.get("NBODY_SYNTH_CACHE_MIN", 2 ** 20))
+    cache = None
+    if cache_dir and num_samples * cells ** 3 >= min_pts:  # skip tiny test cubes
+        rms_tag = f"{za_rms:g}".replace(".", "p")
+        cache = os.path.join(cache_dir, f"synth_{num_samples}x{cells}"
+                                        f"_s{seed}_r{rms_tag}.npy")
+        try:
+            if os.path.exists(cache):
+                return np.load(cache)
+        except Exception:
+            pass  # unreadable/corrupt cache -> regenerate
+
     rng = np.random.default_rng(seed)
     out = np.zeros((num_samples, cells, cells, cells, 19), dtype=np.float32)
     for s in range(num_samples):
@@ -143,4 +163,13 @@ def synthetic_raw_cubes(num_samples: int = 16, cells: int = 32,
         # D2 ~ D^2: the second-order displacement's velocity weight doubles
         out[s, ..., 13:16] = f_growth * (za + 2.0 * psi2)
         out[s, ..., 16:19] = f_growth * (fpm + psi2)
+    if cache is not None:
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            # np.save appends ".npy" unless the name already ends with it
+            tmp = cache + f".{os.getpid()}.tmp.npy"
+            np.save(tmp, out)
+            os.replace(tmp, cache)   # atomic vs concurrent readers
+        except Exception:
+            pass  # cache is best-effort (read-only FS, disk full, ...)
     return out

@@ -66,23 +66,31 @@ def test_split_batch_and_positions():
     assert pos.min() >= 0.0 and pos.max() < 1.0
 
 
-def test_synthetic_disk_cache_roundtrip(tmp_path, monkeypatch, capsys):
-    """The generated cubes are disk-cached per (num_samples, cells, seed):
-    a second Dataset construction loads the identical array from the cache
-    instead of re-running the ~5-min 2LPT solve (measurement queues build
-    one Dataset per CLI process)."""
+def test_synthetic_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Generated cubes are disk-cached per (num_samples, cells, seed,
+    za_rms): a second call loads the identical array instead of re-running
+    the ~5-min 2LPT solve (measurement queues build one Dataset per CLI
+    process; the rollout chain generates one array per hop).  Distinct
+    seeds/rms get distinct cache keys, and tiny arrays skip the cache
+    unless the size floor is lowered."""
+    import os
     monkeypatch.setenv("NBODY_SYNTH_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("NBODY_SYNTH_CACHE_MIN", "0")
+    a = synthetic_raw_cubes(num_samples=6, cells=8, seed=3, za_rms=0.75)
+    files = set(os.listdir(tmp_path))
+    assert files == {"synth_6x8_s3_r0p75.npy"}
+    b = synthetic_raw_cubes(num_samples=6, cells=8, seed=3, za_rms=0.75)
+    np.testing.assert_array_equal(a, b)
+    synthetic_raw_cubes(num_samples=6, cells=8, seed=4, za_rms=0.75)
+    synthetic_raw_cubes(num_samples=6, cells=8, seed=3, za_rms=0.9)
+    assert len(os.listdir(tmp_path)) == 3
+    # Dataset flows through the same cache; X splits are reproducible
     cfg = _tiny_cfg(cells=8, num_samples=6)
-    d1 = Dataset(cfg)
-    assert "generating synthetic data" in capsys.readouterr().out
-    d2 = Dataset(cfg)
-    assert "from cache" in capsys.readouterr().out
+    d1, d2 = Dataset(cfg), Dataset(cfg)
     np.testing.assert_array_equal(np.asarray(d1.X_train),
                                   np.asarray(d2.X_train))
-    np.testing.assert_array_equal(np.asarray(d1.X_test),
-                                  np.asarray(d2.X_test))
-    # a different seed misses the cache (distinct key)
-    cfg2 = C.DataConfig(data_dir="/nonexistent", num_test=2, num_val=2,
-                        cells_per_side=8, synthetic_num_samples=6, seed=9)
-    Dataset(cfg2)
-    assert "generating synthetic data" in capsys.readouterr().out
+    # default size floor skips tiny test cubes
+    monkeypatch.delenv("NBODY_SYNTH_CACHE_MIN")
+    before = len(os.listdir(tmp_path))
+    synthetic_raw_cubes(num_samples=2, cells=8, seed=7)
+    assert len(os.listdir(tmp_path)) == before

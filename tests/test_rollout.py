@@ -86,6 +86,13 @@ def test_chain_cli_end_to_end(tmp_path, monkeypatch, capsys, scan_args):
     assert len(rec["rollout_model_median_l2"]) == 2
     assert len(rec["rollout_linear_median_l2"]) == 2
     assert all(np.isfinite(v) for v in rec["rollout_model_median_l2"])
+    # the like-for-like AUTOREGRESSIVE linear chain column: carries its own
+    # state hop to hop, so from hop 1 it can only be >= the truth-reset
+    # column (equal at hop 0 where both start from the true input)
+    lin_chain = rec["rollout_linear_chain_median_l2"]
+    assert len(lin_chain) == 2
+    assert abs(lin_chain[0] - rec["rollout_linear_median_l2"][0]) < 1e-6
+    assert lin_chain[1] >= rec["rollout_linear_median_l2"][1] - 1e-6
     cube = np.load(tmp_path / "exp" / "ZA-FPM_0_chaintest" / "Results" /
                    "X_0_prediction.npy")
     assert cube.shape[0] == 2 and cube.shape[1] == 2  # (truth/pred, steps,...)
