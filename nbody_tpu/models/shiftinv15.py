@@ -55,6 +55,11 @@ from nbody_tpu.physics.pbc import min_image_diff
 #               a contraction, and the x_col/x_row gather shrinks from
 #               K*C+2q wide to 2q wide.  Bit-identical to "gather" (each
 #               from_a entry is one value through one-hot dots both ways).
+#   "scan"    — lax.scan over the K source slots: K narrow cw-wide gather
+#               passes, accumulated against the slot selector.  Same
+#               one-hot FLOPs, but no K*C-wide intermediate tensor ever
+#               exists — built for the round-5 ablation finding that the
+#               wide ride costs ~269 ms in-step vs ~50 ms isolated.
 # Swap with set_transpose_impl() BEFORE building/jitting a model (same
 # trace-time caveats as ops.blocked.set_core).
 import os as _os
@@ -83,8 +88,9 @@ def set_ablate(names=()) -> None:
 
 
 def set_transpose_impl(impl: str):
-    """Swap the masked-path transpose implementation ("gather"/"scatter")."""
-    assert impl in ("gather", "scatter"), impl
+    """Swap the masked-path transpose implementation
+    ("gather"/"scatter"/"scan")."""
+    assert impl in ("gather", "scatter", "scan"), impl
     global TRANSPOSE_IMPL
     TRANSPOSE_IMPL = impl
 
@@ -446,6 +452,37 @@ def _shift_inv_15op_layer_blocks(hB: jnp.ndarray, layer_params,
         ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
                                    self_slot0=sf)       # (b, NB, R, K, 2q)
         taB = from_aB + hinB[:, 1] * mbB[..., None]
+        g_colB = ggB[..., :q]
+        g_rowB = ggB[..., q:]
+    elif transpose_impl == "scan":
+        # transpose as a lax.scan over the K source slots: iteration j
+        # gathers ONE cw-wide payload (slot j's field) and accumulates it
+        # into the destination slots selecting j.  Same one-hot FLOPs as
+        # the wide ride (ET*P per output element is inherent to masked
+        # selection), but no (b, NB, R, K, K*cw) intermediate exists — the
+        # ablation sweep measured the wide ride at ~269 ms of the 526 ms
+        # forward at (8,8,8) vs its ~50 ms isolated-chain cost, i.e. the
+        # blow-up tensor's materialization/pressure, not its bytes, is
+        # what in-step execution pays for (PERF.md round-5 decomposition).
+        ha_cube = to_cube(hinB[:, 0].reshape(bsz, nb, r, k * cw))
+        ha_by_slot = jnp.moveaxis(
+            ha_cube.reshape(bsz, n, k, cw), 2, 0)       # (K, b, N, cw)
+        sel_by_slot = jnp.moveaxis(selB, -1, 0)         # (K, b, NB, R, K)
+
+        def body(acc, xs):
+            ha_j, sel_j = xs
+            gj = masked_gather_blocks(ha_j, masks, cl, win, core=core,
+                                      self_slot0=sf)    # (b, NB, R, K, cw)
+            return acc + gj * sel_j[..., None], None
+
+        from_aB, _ = jax.lax.scan(
+            body, jnp.zeros((bsz, nb, r, k, cw), dt),
+            (ha_by_slot, sel_by_slot))
+        taB = (from_aB * (1.0 - mbB)[..., None]
+               + hinB[:, 1] * mbB[..., None])
+        payload = jnp.concatenate([x_col, x_row], axis=-1)
+        ggB = masked_gather_blocks(payload, masks, cl, win, core=core,
+                                   self_slot0=sf)       # (b, NB, R, K, 2q)
         g_colB = ggB[..., :q]
         g_rowB = ggB[..., q:]
     else:

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--core", type=int, nargs=3, default=None)
     ap.add_argument("--impls", nargs="+", default=["gather", "scatter"],
-                    choices=["gather", "scatter"])
+                    choices=["gather", "scatter", "scan"])
     ap.add_argument("--skip_chains", action="store_true",
                     help="only the full/forward steps (saves compile time)")
     ap.add_argument("--platform", default="default")

@@ -82,7 +82,7 @@ def test_queue_entry_parses(tag, cmd):
     elif prog == "scripts/profile_step15.py":
         import profile_step15
         args = _parse_with(profile_step15.build_parser(), argv)
-        assert set(args.impls) <= {"gather", "scatter"}
+        assert set(args.impls) <= {"gather", "scatter", "scan"}
     elif prog == "scripts/profile15_parts.py":
         import profile15_parts
         args = _parse_with(profile15_parts.build_parser(), argv)

@@ -360,7 +360,7 @@ def test_shiftinv15_scatter_transpose_matches_gather():
     outs, grads = {}, {}
     old = S15.TRANSPOSE_IMPL
     try:
-        for impl in ("gather", "scatter"):
+        for impl in ("gather", "scatter", "scan"):
             S15.set_transpose_impl(impl)
             model = build_model(cfg, box=4.0 * cells)
             params = model.init(jax.random.PRNGKey(0))
@@ -374,7 +374,8 @@ def test_shiftinv15_scatter_transpose_matches_gather():
                 [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)])
     finally:
         S15.set_transpose_impl(old)
-    np.testing.assert_allclose(outs["scatter"], outs["gather"],
-                               rtol=1e-5, atol=2e-5)
-    np.testing.assert_allclose(grads["scatter"], grads["gather"],
-                               rtol=1e-4, atol=1e-5)
+    for impl in ("scatter", "scan"):
+        np.testing.assert_allclose(outs[impl], outs["gather"],
+                                   rtol=1e-5, atol=2e-5)
+        np.testing.assert_allclose(grads[impl], grads["gather"],
+                                   rtol=1e-4, atol=1e-5)
