@@ -245,6 +245,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(background prefetch); requires a real ZA_*.npy file")
     adg("--cells", type=int, default=CELLS_PER_SIDE,
         help="Cube cells per side (particles = cells^3)")
+    adg("--samples", type=int, default=NUM_SAMPLES, metavar="S",
+        help="Synthetic dataset size (cubes generated when no real data; "
+             "reference datasets are fixed at 1000, utils.py:530-545). "
+             "Train AND eval must agree for the held-out split to match")
     adg("-r", "--restore", action="store_true",
         help="Restore pretrained model parameters (works here, unlike the reference)")
     adg("--scan", type=int, default=0, metavar="T",
@@ -341,7 +345,13 @@ def config_from_args(args: argparse.Namespace) -> Config:
         data_dir=data_dir,
         data_idx=args.data_idx,
         num_test=args.num_test,
+        # the CLI exposes no --num_val; scale the reference's fixed 100
+        # (utils.py:589) with the dataset so a small --samples set is not
+        # starved of train cubes (100/1000 = 10%, preserved exactly at the
+        # reference size)
+        num_val=min(NUM_VAL_SAMPLES, max(1, args.samples // 10)),
         cells_per_side=args.cells,
+        synthetic_num_samples=args.samples,
         include_velocity=args.velocity,
         streaming=args.streaming)
     model = ModelConfig(

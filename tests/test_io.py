@@ -103,6 +103,22 @@ def test_cli_remat_flag_reaches_model_config():
     assert cfg.model.remat is False
 
 
+def test_cli_samples_flag_reaches_data_config():
+    """--samples sizes the synthetic dataset (the 64^3 quality leg uses a
+    smaller set than the reference's fixed 1000 cubes, utils.py:530-545);
+    train and eval must pass the same value for the split to match."""
+    parser = C.build_parser()
+    cfg = C.config_from_args(parser.parse_args(["--samples", "200"]))
+    assert cfg.data.synthetic_num_samples == 200
+    assert cfg.data.num_val == 20            # val scales at the 100/1000 ratio
+    cfg = C.config_from_args(parser.parse_args([]))
+    assert cfg.data.synthetic_num_samples == C.NUM_SAMPLES
+    assert cfg.data.num_val == C.NUM_VAL_SAMPLES
+    # a tiny set keeps at least one val cube and leaves train unstarved
+    cfg = C.config_from_args(parser.parse_args(["--samples", "12", "-t", "2"]))
+    assert cfg.data.num_val == 1
+
+
 def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
     from nbody_tpu.cli import train as cli_train
     monkeypatch.setenv("NBODY_EXPERIMENTS_DIR", str(tmp_path / "exp"))
